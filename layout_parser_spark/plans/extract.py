@@ -1,0 +1,107 @@
+"""The flagship extraction pipeline (north rule): pages → main-content text.
+
+Stage layout (one narrow Arrow stage + expressions; shuffle only for the
+optional salt repartition):
+
+1. [optional] salted repartition ``pmod(xxhash64(url, salt), S)`` — defuses
+   host-level skew before the heavy UDF stage (BASELINE.json north_rule).
+2. segment: html → page_data + blocks (plans/segment.py, Arrow UDF).
+3. boilerplate drop — ALL columnar expressions (Catalyst-optimized):
+   a. typed boilerplate: type ∈ {Header, Footer, Nav, Aside, Figure};
+   b. link-dense blocks: score < 1 − link_density_max (nav/ads);
+   c. full-width top/bottom bands: width ≥ 90% of page AND within the top
+      or bottom 12% of the page;
+   d. geometric figure containment: center-point ``is_in`` any Figure
+      region (the reference recipe's ``b.is_in(b_fig)`` drop,
+      docs/example/deep_layout_parsing) — an EXISTS over the per-page
+      figure regions using the engine's is_in predicate.
+4. reading order: XY-cut permutation (plans/reading_order.py).
+5. text assembly: ``concat_ws(' ', texts-in-order)`` — the Tesseract
+   space-join rule (ocr/tesseract_agent.py:157 ``str.cat(sep=" ")``); block
+   texts were whitespace-normalized at segmentation, so per-url output is
+   byte-deterministic.
+
+The per-url invariant (BASELINE.json input_hint): extracted_text is
+byte-identical to what the reference's semantics produce — enforced by
+tests/test_extract.py against an independent oracle AND by the driver's
+DuckDB check (the synthetic pages encode the document's own tokens, so the
+oracle is ``SELECT doc_id, text FROM documents``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.predicates import is_in
+from .reading_order import xy_cut_texts
+from .segment import BOILERPLATE_TYPES, segment_pages
+
+LINK_DENSITY_MAX = 0.5
+BAND_FRAC = 0.12
+BAND_WIDTH_FRAC = 0.9
+
+
+def keep_main_block(
+    b: Column, figures: Column, page_w: Column, page_h: Column
+) -> Column:
+    """Boolean keep-predicate for one block (see module doc, step 3)."""
+    typed_ok = ~b["type"].isin(*BOILERPLATE_TYPES, "Figure")
+    link_ok = b["score"] >= (1.0 - LINK_DENSITY_MAX)
+    w = b["x_2"] - b["x_1"]
+    is_band = (w >= BAND_WIDTH_FRAC * page_w) & (
+        (b["y_2"] <= BAND_FRAC * page_h) | (b["y_1"] >= (1 - BAND_FRAC) * page_h)
+    )
+    in_figure = F.exists(figures, lambda f: is_in(b, f, center=True))
+    return typed_ok & link_ok & ~is_band & ~in_figure
+
+
+def drop_boilerplate(df: DataFrame) -> DataFrame:
+    """blocks → main_blocks (columnar higher-order-function filtering)."""
+    figures = F.filter(F.col("blocks"), lambda b: b["type"] == "Figure")
+    df = df.withColumn("figures", figures)
+    page_w = F.col("page_data.width")
+    page_h = F.col("page_data.height")
+    main = F.filter(
+        F.col("blocks"),
+        lambda b: keep_main_block(b, F.col("figures"), page_w, page_h),
+    )
+    return df.withColumn("main_blocks", main)
+
+
+def assemble_text(df: DataFrame, blocks_col: str = "main_blocks") -> DataFrame:
+    """XY-cut order + space-join text assembly."""
+    ordered_texts = xy_cut_texts(F.col(blocks_col))
+    return df.withColumn(
+        "extracted_text", F.concat_ws(" ", ordered_texts)
+    ).withColumn("n_blocks", F.size(F.col(blocks_col)))
+
+
+def extract_main_text(
+    pages: DataFrame,
+    salt_partitions: Optional[int] = None,
+    salt_round: int = 0,
+) -> DataFrame:
+    """pages(url, warc_ts, html, …) → (url, …, extracted_text, n_blocks).
+
+    ``salt_partitions`` adds the explicit salted repartition
+    ``pmod(xxhash64(url, salt_round), S)`` before the UDF stage — on a real
+    cluster this spreads hot hosts across executors; leave None for
+    single-stage narrow execution when the input is already well
+    partitioned (e.g. Iceberg ``bucket(N, url)``).
+    """
+    df = pages
+    if salt_partitions:
+        df = df.repartition(
+            salt_partitions,
+            F.pmod(
+                F.xxhash64(F.col("url"), F.lit(salt_round)),
+                F.lit(salt_partitions),
+            ),
+        )
+    df = segment_pages(df)
+    df = drop_boilerplate(df)
+    df = assemble_text(df)
+    return df

@@ -1,0 +1,1 @@
+from .pages import page_url, render_page_html, synth_pages  # noqa: F401

@@ -1,0 +1,93 @@
+"""North-rule gate: byte-identical extracted text per url.
+
+Three-way agreement on the sf0.001 documents corpus:
+engine (Spark pipeline) == independent oracle (reference-style scalar
+implementation) == the original document text (the synthetic page embeds
+the document's own tokens as main content)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from layout_parser_spark.plans import extract_main_text, xy_cut_indices
+from layout_parser_spark.plans.segment import parse_page
+from layout_parser_spark.sources import render_page_html, synth_pages
+from oracle_extract import oracle_extract
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_oracle_vs_renderer_roundtrip():
+    """Pure-python sanity: oracle on a rendered page returns the original
+    text (no Spark)."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lam mu nu xi omicron pi rho sigma tau upsilon"
+    for doc_id in (0, 1, 7, 42, 123456):
+        html = render_page_html(doc_id, text)
+        assert oracle_extract(html) == text, doc_id
+
+
+def test_segmentation_parses_blocks():
+    html = render_page_html(3, "one two three four five six seven eight "
+                               "nine ten eleven twelve")
+    w, h, rows = parse_page(html)
+    assert w == 1280 and h >= 1000
+    types = [r["type"] for r in rows]
+    assert "Header" in types and "Footer" in types and "Nav" in types
+    assert "Figure" in types
+    # caption block has parent set to the figure block id
+    fig_id = next(r["id"] for r in rows if r["type"] == "Figure")
+    caption = [r for r in rows if r["parent"] == fig_id]
+    assert len(caption) == 1
+    # ad block: all-anchor text → score 0
+    ad = [r for r in rows if r["score"] is not None and r["score"] < 0.5]
+    assert len(ad) >= 2  # nav + ad
+
+
+def test_xy_cut_two_columns():
+    # two columns, two blocks each; xy-cut must read left column first
+    import numpy as np
+
+    x1 = np.array([240.0, 240.0, 760.0, 760.0])
+    y1 = np.array([120.0, 300.0, 120.0, 300.0])
+    x2 = np.array([740.0, 740.0, 1260.0, 1260.0])
+    y2 = np.array([260.0, 420.0, 260.0, 420.0])
+    assert xy_cut_indices(x1, y1, x2, y2) == [0, 1, 2, 3]
+    # interleave input order; permutation must still read columns
+    perm = [2, 0, 3, 1]  # block i of the above placed at position perm[i]
+    xx1 = x1[perm]
+    assert xy_cut_indices(xx1, y1[perm], x2[perm], y2[perm]) == [1, 3, 0, 2]
+
+
+def test_extract_byte_identical(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pages = synth_pages(docs)
+    out = extract_main_text(pages).select(
+        "doc_id", "text", "extracted_text", "n_blocks"
+    )
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    mismatches = [
+        (r.doc_id, r.text, r.extracted_text)
+        for r in rows
+        if r.extracted_text != r.text
+    ]
+    assert not mismatches, f"{len(mismatches)} mismatches; first: {mismatches[:2]}"
+    assert all(r.n_blocks >= 1 for r in rows)
+
+
+def test_engine_matches_independent_oracle(spark):
+    """Engine vs oracle on the html itself (not just vs original text)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    pages = synth_pages(docs).select("doc_id", "url", "html")
+    engine = {
+        r.doc_id: r.extracted_text
+        for r in extract_main_text(pages).select(
+            "doc_id", "extracted_text"
+        ).collect()
+    }
+    local = pages.select("doc_id", "html").collect()
+    for r in local:
+        expected = oracle_extract(bytes(r.html).decode("utf-8"))
+        assert engine[r.doc_id] == expected, r.doc_id
