@@ -1,38 +1,988 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data-pipeline operators) to a callable
+``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` holds the DuckDB-ANSI
+twin for every SQL-expressible query.  Column names and value rounding are
+aligned on both sides (the driver hash-compares values after sorting
+columns by name).
+
+Queries without an oracle entry (xxhash64-based LSH/MinHash/SimHash) get
+the driver's weaker rows-only check and are additionally pinned against
+pure-Python oracles in tests/.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from layout_parser_spark import schema as S
+from layout_parser_spark.functions import (
+    area,
+    center_x,
+    center_y,
+    coords4,
+    height,
+    intersect,
+    interval_center,
+    is_in,
+    pad,
+    union,
+    width,
+)
+from layout_parser_spark.operators import layout_ops
+from layout_parser_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from layout_parser_spark.operators.grouping import group_blocks_by_category
+from layout_parser_spark.operators.ocr_agg import gather_data, gather_full_text
+from layout_parser_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from layout_parser_spark.operators.text_analysis import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    regex_token_count,
+    token_count,
+)
+from layout_parser_spark.plans import extract_main_text
+from layout_parser_spark.sources import synth_pages
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+def q_extract_main_text(spark, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    out = extract_main_text(synth_pages(docs))
+    return out.select(
+        "doc_id",
+        F.col("extracted_text"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+    )
+
+
+SQL_EXTRACT = """
+SELECT doc_id,
+       text AS extracted_text,
+       CAST(CEIL(len(string_split(text, ' ')) * 1.0
+                 / (8 + doc_id % 5)) AS BIGINT) AS n_blocks
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# geometry over constructed blocks (lineitem / orders / part)
+# ---------------------------------------------------------------------------
+def q_geom_rect_algebra(spark, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    b = S.rectangle(
+        F.col("l_quantity"),
+        F.col("l_discount") * 100.0,
+        F.col("l_quantity") + F.col("l_extendedprice") / 1000.0,
+        F.col("l_discount") * 100.0 + F.col("l_tax") * 100.0 + 1.0,
+    )
+    df = li.select("l_orderkey", "l_linenumber", b.alias("b"))
+    bb = F.col("b")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(width(bb), 6).alias("w"),
+        F.round(height(bb), 6).alias("h"),
+        F.round(area(bb), 6).alias("a"),
+        F.round(center_x(bb), 6).alias("cx"),
+        F.round(center_y(bb), 6).alias("cy"),
+    )
+
+
+SQL_GEOM_RECT = """
+SELECT l_orderkey, l_linenumber,
+       ROUND((l_quantity + l_extendedprice/1000.0) - l_quantity, 6) AS w,
+       ROUND((l_discount*100.0 + l_tax*100.0 + 1.0) - l_discount*100.0, 6) AS h,
+       ROUND(((l_quantity + l_extendedprice/1000.0) - l_quantity)
+             * ((l_discount*100.0 + l_tax*100.0 + 1.0) - l_discount*100.0), 6) AS a,
+       ROUND((l_quantity + (l_quantity + l_extendedprice/1000.0)) / 2.0, 6) AS cx,
+       ROUND((l_discount*100.0 + (l_discount*100.0 + l_tax*100.0 + 1.0)) / 2.0, 6) AS cy
+FROM lineitem
+"""
+
+
+def q_geom_interval_ops(spark, sf: str) -> DataFrame:
+    od = _t(spark, sf, "orders")
+    start = F.col("o_totalprice") / 1000.0
+    end = start + 1.0 + F.pmod(F.col("o_orderkey"), F.lit(7))
+    axis = F.when(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0, "x").otherwise("y")
+    iv = S.interval(start, end, axis, canvas_height=100.0, canvas_width=50.0)
+    df = od.select("o_orderkey", iv.alias("b"))
+    padded = pad(F.col("b"), left=5, right=3, top=2, bottom=1)
+    df = df.select("o_orderkey", "b", padded.alias("p"))
+    x1, y1, x2, y2 = coords4(F.col("p"))
+    return df.select(
+        "o_orderkey",
+        F.round(F.col("p.start"), 6).alias("p_start"),
+        F.round(F.col("p.end"), 6).alias("p_end"),
+        F.round(x1, 6).alias("x_1"),
+        F.round(y1, 6).alias("y_1"),
+        F.round(x2, 6).alias("x_2"),
+        F.round(y2, 6).alias("y_2"),
+        F.round(width(F.col("b")), 6).alias("w"),
+        F.round(height(F.col("b")), 6).alias("h"),
+        F.round(interval_center(F.col("b")), 6).alias("c"),
+    )
+
+
+SQL_GEOM_INTERVAL = """
+WITH iv AS (
+  SELECT o_orderkey,
+         o_totalprice/1000.0 AS s,
+         o_totalprice/1000.0 + 1.0 + (o_orderkey % 7) AS e,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'x' ELSE 'y' END AS ax
+  FROM orders
+), p AS (
+  SELECT o_orderkey, s, e, ax,
+         GREATEST(0.0, CASE WHEN ax='x' THEN s - 5 ELSE s - 2 END) AS ps,
+         CASE WHEN ax='x' THEN e + 3 ELSE e + 1 END AS pe
+  FROM iv
+)
+SELECT o_orderkey,
+       ROUND(ps, 6) AS p_start,
+       ROUND(pe, 6) AS p_end,
+       ROUND(CASE WHEN ax='x' THEN ps ELSE 0.0 END, 6) AS x_1,
+       ROUND(CASE WHEN ax='x' THEN 0.0 ELSE ps END, 6) AS y_1,
+       ROUND(CASE WHEN ax='x' THEN pe ELSE 50.0 END, 6) AS x_2,
+       ROUND(CASE WHEN ax='x' THEN 100.0 ELSE pe END, 6) AS y_2,
+       ROUND(CASE WHEN ax='y' THEN 50.0 ELSE e - s END, 6) AS w,
+       ROUND(CASE WHEN ax='x' THEN 100.0 ELSE e - s END, 6) AS h,
+       ROUND((s + e) / 2.0, 6) AS c
+FROM p
+"""
+
+
+def q_geom_quad_shoelace(spark, sf: str) -> DataFrame:
+    pt = _t(spark, sf, "part")
+    cx = F.col("p_retailprice") / 10.0
+    cy = F.col("p_size") * 5.0
+    w = 1.0 + F.pmod(F.col("p_partkey"), F.lit(5))
+    h = 1.0 + F.pmod(F.col("p_partkey"), F.lit(3))
+    # clockwise rhombus from top: (cx,cy-h) (cx+w,cy) (cx,cy+h) (cx-w,cy)
+    q = S.quadrilateral(
+        F.array(cx, cy - h, cx + w, cy, cx, cy + h, cx - w, cy)
+    )
+    df = pt.select("p_partkey", q.alias("b"))
+    bb = F.col("b")
+    return df.select(
+        "p_partkey",
+        F.round(area(bb), 6).alias("a"),
+        F.round(width(bb), 6).alias("w"),
+        F.round(height(bb), 6).alias("h"),
+        F.round(center_x(bb), 6).alias("cx"),
+        F.round(center_y(bb), 6).alias("cy"),
+    )
+
+
+SQL_GEOM_QUAD = """
+SELECT p_partkey,
+       ROUND(2.0 * (1.0 + p_partkey % 5) * (1.0 + p_partkey % 3), 6) AS a,
+       ROUND(2.0 * (1.0 + p_partkey % 5), 6) AS w,
+       ROUND(2.0 * (1.0 + p_partkey % 3), 6) AS h,
+       ROUND(p_retailprice / 10.0, 6) AS cx,
+       ROUND(p_size * 5.0, 6) AS cy
+FROM part
+"""
+
+
+_REGIONS = [
+    # (region_id, x1, y1, x2, y2)
+    (0, 0.0, 0.0, 60.0, 60.0),
+    (1, 0.0, 0.0, 120.0, 120.0),
+    (2, 20.0, 5.0, 90.0, 40.0),
+    (3, 50.0, 50.0, 4000.0, 200.0),
+]
+
+
+def q_geom_is_in_join(spark, sf: str) -> DataFrame:
+    """Spatial semi-join: lineitem blocks vs a broadcast region set, via
+    the engine's is_in predicate (full + center variants)."""
+    li = _t(spark, sf, "lineitem")
+    b = S.rectangle(
+        F.col("l_quantity"),
+        F.col("l_discount") * 100.0,
+        F.col("l_quantity") + F.col("l_extendedprice") / 1000.0,
+        F.col("l_discount") * 100.0 + F.col("l_tax") * 100.0 + 1.0,
+    )
+    blocks = li.select(b.alias("b"))
+    regions = spark.createDataFrame(
+        _REGIONS, "region_id int, rx1 double, ry1 double, rx2 double, ry2 double"
+    ).select(
+        "region_id",
+        S.rectangle(F.col("rx1"), F.col("ry1"), F.col("rx2"), F.col("ry2")).alias("r"),
+    )
+    j = blocks.crossJoin(F.broadcast(regions))
+    return (
+        j.groupBy("region_id")
+        .agg(
+            F.sum(is_in(F.col("b"), F.col("r")).cast("long")).alias("n_inside"),
+            F.sum(
+                is_in(F.col("b"), F.col("r"), center=True).cast("long")
+            ).alias("n_center_inside"),
+        )
+    )
+
+
+SQL_GEOM_ISIN = """
+WITH blocks AS (
+  SELECT l_quantity AS x1, l_discount*100.0 AS y1,
+         l_quantity + l_extendedprice/1000.0 AS x2,
+         l_discount*100.0 + l_tax*100.0 + 1.0 AS y2
+  FROM lineitem
+), regions(region_id, rx1, ry1, rx2, ry2) AS (
+  VALUES (0, 0.0, 0.0, 60.0, 60.0),
+         (1, 0.0, 0.0, 120.0, 120.0),
+         (2, 20.0, 5.0, 90.0, 40.0),
+         (3, 50.0, 50.0, 4000.0, 200.0)
+)
+SELECT region_id,
+       SUM(CASE WHEN rx1 <= x1 AND x1 <= x2 AND x2 <= rx2
+                 AND ry1 <= y1 AND y1 <= y2 AND y2 <= ry2
+                THEN 1 ELSE 0 END) AS n_inside,
+       SUM(CASE WHEN rx1 <= (x1+x2)/2.0 AND (x1+x2)/2.0 <= rx2
+                 AND ry1 <= (y1+y2)/2.0 AND (y1+y2)/2.0 <= ry2
+                THEN 1 ELSE 0 END) AS n_center_inside
+FROM blocks CROSS JOIN regions
+GROUP BY region_id
+"""
+
+
+def q_geom_intersect_union(spark, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    a = S.rectangle(
+        F.col("l_quantity"),
+        F.col("l_discount") * 100.0,
+        F.col("l_quantity") + F.col("l_extendedprice") / 1000.0,
+        F.col("l_discount") * 100.0 + F.col("l_tax") * 100.0 + 1.0,
+    )
+    b = S.rectangle(
+        F.col("l_quantity") + F.col("l_linenumber"),
+        F.col("l_discount") * 100.0 - 2.0,
+        F.col("l_quantity") + F.col("l_linenumber") + 10.0,
+        F.col("l_discount") * 100.0 + 8.0,
+    )
+    df = li.select("l_orderkey", "l_linenumber", a.alias("a"), b.alias("b"))
+    ix = intersect(F.col("a"), F.col("b"))
+    un = union(F.col("a"), F.col("b"))
+    df = df.select("l_orderkey", "l_linenumber", ix.alias("i"), un.alias("u"))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("i.x_1"), 6).alias("ix1"),
+        F.round(F.col("i.y_1"), 6).alias("iy1"),
+        F.round(F.col("i.x_2"), 6).alias("ix2"),
+        F.round(F.col("i.y_2"), 6).alias("iy2"),
+        F.round(F.col("u.x_1"), 6).alias("ux1"),
+        F.round(F.col("u.y_1"), 6).alias("uy1"),
+        F.round(F.col("u.x_2"), 6).alias("ux2"),
+        F.round(F.col("u.y_2"), 6).alias("uy2"),
+    )
+
+
+SQL_GEOM_IX = """
+WITH r AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity AS ax1, l_discount*100.0 AS ay1,
+         l_quantity + l_extendedprice/1000.0 AS ax2,
+         l_discount*100.0 + l_tax*100.0 + 1.0 AS ay2,
+         l_quantity + l_linenumber AS bx1, l_discount*100.0 - 2.0 AS by1,
+         l_quantity + l_linenumber + 10.0 AS bx2, l_discount*100.0 + 8.0 AS by2
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       ROUND(GREATEST(ax1, bx1), 6) AS ix1, ROUND(GREATEST(ay1, by1), 6) AS iy1,
+       ROUND(LEAST(ax2, bx2), 6) AS ix2,    ROUND(LEAST(ay2, by2), 6) AS iy2,
+       ROUND(LEAST(ax1, bx1), 6) AS ux1,    ROUND(LEAST(ay1, by1), 6) AS uy1,
+       ROUND(GREATEST(ax2, bx2), 6) AS ux2, ROUND(GREATEST(ay2, by2), 6) AS uy2
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# collection ops / grouping / OCR aggregation (events as the token table)
+# ---------------------------------------------------------------------------
+def q_layout_filter_sort_concat(spark, sf: str) -> DataFrame:
+    """§2.4 per-document array pipeline: build a Layout per user from
+    events, filter_by an x-band region, sort by y desc, get_texts, join."""
+    ev = _t(spark, sf, "events")
+    blk = S.rectangle(
+        F.pmod(F.col("value") * 10.0, F.lit(1000.0)),
+        F.col("event_id").cast("double"),
+        F.pmod(F.col("value") * 10.0, F.lit(1000.0)) + 5.0,
+        F.col("event_id").cast("double") + 1.0,
+        text=F.concat_ws("-", F.col("event_type"), F.col("event_id")),
+    )
+    per_user = (
+        ev.select("user_id", "event_id", blk.alias("b"))
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("event_id", "b"))),
+                lambda s: s["b"],
+            ).alias("blocks")
+        )
+    )
+    region = S.interval(0.0, 500.0, "x")
+    kept = layout_ops.filter_by(F.col("blocks"), region)
+    sorted_desc = layout_ops.sort_blocks(
+        kept, key=lambda bl: bl["y_1"], reverse=True
+    )
+    texts = layout_ops.get_texts(sorted_desc)
+    return per_user.select(
+        "user_id",
+        F.size(kept).cast("long").alias("n_kept"),
+        F.concat_ws(" ", texts).alias("joined"),
+    )
+
+
+SQL_LAYOUT_FSC = """
+WITH b AS (
+  SELECT user_id, event_id,
+         (value*10.0) % 1000.0 AS x1,
+         event_id * 1.0 AS y1,
+         event_type || '-' || event_id AS txt
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) FILTER (WHERE x1 >= 0 AND x1 + 5.0 <= 500.0) AS n_kept,
+       COALESCE(string_agg(txt, ' ' ORDER BY y1 DESC)
+                FILTER (WHERE x1 >= 0 AND x1 + 5.0 <= 500.0), '') AS joined
+FROM b
+GROUP BY user_id
+"""
+
+
+def q_group_by_category(spark, sf: str) -> DataFrame:
+    """§2.5 group_textblocks_based_on_category over the exploded view."""
+    ev = _t(spark, sf, "events")
+    df = ev.select(
+        "user_id",
+        F.col("event_type").alias("type"),
+        F.col("event_id").alias("pos"),
+        F.col("value").alias("x_1"),
+        (F.col("value") + 1.0).alias("y_1"),
+        (F.col("value") * 2.0).alias("x_2"),
+        (F.col("value") + 3.0).alias("y_2"),
+    )
+    out = group_blocks_by_category(
+        df, key_cols=["user_id"], type_col="type", pos_col="pos"
+    )
+    return out.select(
+        "user_id",
+        "type",
+        F.round("x_1", 6).alias("x_1"),
+        F.round("y_1", 6).alias("y_1"),
+        F.round("x_2", 6).alias("x_2"),
+        F.round("y_2", 6).alias("y_2"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("group_order").cast("long").alias("group_order"),
+    )
+
+
+SQL_GROUP_CAT = """
+WITH g AS (
+  SELECT user_id, event_type AS type,
+         MIN(value) AS x_1, MIN(value + 1.0) AS y_1,
+         MAX(value * 2.0) AS x_2, MAX(value + 3.0) AS y_2,
+         COUNT(*) AS n_blocks, MIN(event_id) AS first_pos
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, type,
+       ROUND(x_1, 6) AS x_1, ROUND(y_1, 6) AS y_1,
+       ROUND(x_2, 6) AS x_2, ROUND(y_2, 6) AS y_2,
+       n_blocks,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY first_pos) - 1
+            AS BIGINT) AS group_order
+FROM g
+"""
+
+
+def q_ocr_gather_data(spark, sf: str) -> DataFrame:
+    """§2.7 Tesseract gather_data over events-as-token-table."""
+    ev = _t(spark, sf, "events").select(
+        F.pmod(F.col("user_id"), F.lit(5)).alias("page_num"),
+        F.col("user_id").alias("block_num"),
+        F.col("value").alias("left"),
+        (F.pmod(F.col("event_id"), F.lit(100))).cast("double").alias("top"),
+        (F.col("value") / 2.0).alias("width"),
+        (F.pmod(F.col("event_id"), F.lit(7))).cast("double").alias("height"),
+        F.col("value").alias("conf"),
+        F.col("event_type").alias("text"),
+        F.col("event_id").alias("pos"),
+    )
+    out = gather_data(ev, ["page_num", "block_num"])
+    return out.select(
+        "page_num",
+        "block_num",
+        F.col("id").cast("long").alias("id"),
+        F.round("x_1", 6).alias("x_1"),
+        F.round("y_1", 6).alias("y_1"),
+        F.round("x_2", 6).alias("x_2"),
+        F.round("y_2", 6).alias("y_2"),
+        F.round("score", 4).alias("score"),
+        "text",
+        "block_type",
+    )
+
+
+SQL_OCR_GATHER = """
+WITH tok AS (
+  SELECT user_id % 5 AS page_num, user_id AS block_num,
+         value AS lft, (event_id % 100) * 1.0 AS top,
+         value / 2.0 AS w, (event_id % 7) * 1.0 AS h,
+         value AS conf, event_type AS txt, event_id AS pos
+  FROM events
+), g AS (
+  SELECT page_num, block_num,
+         MIN(lft) AS x_1, MIN(top) AS y_1,
+         MAX(w) AS mw, MAX(h) AS mh, AVG(conf) AS score,
+         string_agg(txt, ' ' ORDER BY pos) AS text
+  FROM tok GROUP BY page_num, block_num
+)
+SELECT page_num, block_num,
+       CAST(ROW_NUMBER() OVER (ORDER BY page_num, block_num) - 1 AS BIGINT) AS id,
+       ROUND(x_1, 6) AS x_1, ROUND(y_1, 6) AS y_1,
+       ROUND(x_1 + mw, 6) AS x_2, ROUND(y_1 + mh, 6) AS y_2,
+       ROUND(score, 4) AS score, text,
+       'rectangle' AS block_type
+FROM g
+"""
+
+
+def q_gcv_fulltext(spark, sf: str) -> DataFrame:
+    """§2.7 GCV hierarchical join cascade: symbols('' join)→words(' ')…"""
+    ev = _t(spark, sf, "events").select(
+        F.pmod(F.col("user_id"), F.lit(10)).alias("doc"),
+        F.col("user_id").alias("block_num"),
+        F.pmod(F.col("event_id"), F.lit(3)).alias("word_num"),
+        F.substring(F.col("event_type"), 1, 2).alias("text"),
+        F.col("event_id").alias("pos"),
+    )
+    return gather_full_text(ev, ["doc"], ["block_num", "word_num"])
+
+
+SQL_GCV = """
+WITH sym AS (
+  SELECT user_id % 10 AS doc, user_id AS block_num,
+         event_id % 3 AS word_num,
+         substring(event_type, 1, 2) AS s, event_id AS pos
+  FROM events
+), words AS (
+  SELECT doc, block_num, word_num,
+         string_agg(s, '' ORDER BY pos) AS w, MIN(pos) AS wpos
+  FROM sym GROUP BY doc, block_num, word_num
+), blocks AS (
+  SELECT doc, block_num,
+         string_agg(w, ' ' ORDER BY wpos) AS b, MIN(wpos) AS bpos
+  FROM words GROUP BY doc, block_num
+)
+SELECT doc, string_agg(b, ' ' ORDER BY bpos) AS text
+FROM blocks GROUP BY doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational core (§2.11 analogues)
+# ---------------------------------------------------------------------------
+def q_agg_pricing_summary(spark, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_region_revenue(spark, sf: str) -> DataFrame:
+    """5-way join with broadcast dims: revenue per region."""
+    li = _t(spark, sf, "lineitem")
+    od = _t(spark, sf, "orders")
+    cu = _t(spark, sf, "customer")
+    na = _t(spark, sf, "nation")
+    re = _t(spark, sf, "region")
+    j = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+    )
+    return j.groupBy("r_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_REGION_REV = """
+SELECT r_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_topk_events_per_user(spark, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("user_id", "event_id", "value", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+SQL_TOPK = """
+SELECT user_id, event_id, value,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY value DESC, event_id ASC) AS BIGINT) AS rk
+FROM events
+QUALIFY rk <= 3
+"""
+
+
+def q_set_ops_nations(spark, sf: str) -> DataFrame:
+    cu = _t(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    su = _t(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    return (
+        cu.unionByName(su)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n_sides"))
+    )
+
+
+SQL_SETOPS = """
+SELECT nationkey, COUNT(*) AS n_sides FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+) GROUP BY nationkey
+"""
+
+
+def q_sessionize_events(spark, sf: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative sum), 30-min gap."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(
+        F.lag("ts").over(w)
+    )
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w)
+    df = ev.withColumn("session_id", sess)
+    return (
+        df.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_SESSION = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / text analysis / similarity / multimodal
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark, sf: str) -> DataFrame:
+    return dedup_exact(_t(spark, sf, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS digest, MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"),
+        n=3,
+        threshold=0.01,
+        block_col="source",
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), sh AS (
+  SELECT DISTINCT doc_id, source, g FROM grams WHERE g IS NOT NULL
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source = b.source
+                      AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(inter * 1.0 / (ca.n_sh + cb.n_sh - inter), 6) AS jaccard
+FROM pairs
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE inter * 1.0 / (ca.n_sh + cb.n_sh - inter) >= 0.01
+"""
+
+
+def q_minhash_lsh(spark, sf: str) -> DataFrame:
+    # xxhash64 has no DuckDB twin → rows-only driver check; pinned against
+    # a pure-python oracle in tests/test_dedup.py
+    return minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_hashes=32, bands=16, threshold=0.05
+    )
+
+
+def q_simhash_buckets(spark, sf: str) -> DataFrame:
+    # xxhash64-based → rows-only; python oracle in tests/test_dedup.py
+    return simhash_buckets(_t(spark, sf, "documents"))
+
+
+def q_docs_token_stats(spark, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        regex_token_count(F.col("text")).cast("long").alias("n_regex_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9[:space:]]'))
+            AS BIGINT) AS n_regex_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def q_docs_lang_id(spark, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+def _sql_sw_ratio(lang_words):
+    arr = ", ".join(f"'{w}'" for w in lang_words)
+    return (
+        f"len(list_filter(string_split(text,' '), t -> list_contains([{arr}],"
+        f" t))) * 1.0 / GREATEST(len(string_split(text,' ')), 1)"
+    )
+
+
+def _sql_lang_id() -> str:
+    from layout_parser_spark.operators.text_analysis import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    ratio_cols = ",\n         ".join(
+        f"{_sql_sw_ratio(STOPWORDS[l])} AS r_{l}" for l in langs
+    )
+    best = "GREATEST(" + ", ".join(f"r_{l}" for l in langs) + ")"
+    # Spark takes greatest(struct(ratio, lang)) — ties on ratio resolve to
+    # the LARGEST lang code, so the CASE checks langs in reverse order.
+    cascade = "\n            ".join(
+        f"WHEN r_{l} = best THEN '{l}'" for l in reversed(langs)
+    )
+    return f"""
+WITH r AS (
+  SELECT doc_id,
+         {ratio_cols}
+  FROM documents
+), b AS (
+  SELECT doc_id, {best} AS best, * FROM r
+)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und'
+            {cascade}
+       END AS pred_lang
+FROM b
+"""
+
+
+def q_docs_quality(spark, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+
+
+SQL_QUALITY = r"""
+WITH q AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_toks,
+         length(regexp_replace(text, '[A-Za-z0-9[:space:]一-鿿]', '', 'g'))
+           AS punct
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(
+         (CASE WHEN n_chars < 20 THEN 0.0
+               WHEN n_chars > 10000 THEN 0.5 ELSE 1.0 END) * 0.5
+         + (CASE WHEN n_chars * 1.0 / GREATEST(n_toks, 1) BETWEEN 2 AND 12
+                 THEN 1.0 ELSE 0.5 END) * 0.3
+         + (1.0 - punct * 1.0 / GREATEST(n_chars, 1)) * 0.2, 6) AS quality
+FROM q
+"""
+
+
+def q_docs_fingerprint(spark, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+SQL_FINGERPRINT = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+SELECT doc_id,
+       CAST(SUM(pos * (131 * length(tok) + ascii(tok))) % 2147483647
+            AS BIGINT) AS fp
+FROM toks GROUP BY doc_id
+"""
+
+
+def q_multimodal_meta(spark, sf: str) -> DataFrame:
+    """Opaque-binary handling: metadata of a binary payload column."""
+    d = _t(spark, sf, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "utf-8")
+    )
+    return d.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("byte_len"),
+        F.md5("payload").alias("digest"),
+        F.md5(F.substring(F.col("payload"), 1, 100)).alias("head_digest"),
+    )
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS digest,
+       md5(substring(text, 1, 100)) AS head_digest
+FROM documents
+"""
+
+
+def _queries_df(spark, sf: str):
+    # float32 storage → double math on BOTH sides (Spark and the DuckDB
+    # oracle) so the accumulation is bit-identical
+    e = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = (
+        e.where(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    v = e.where(F.col("vec_id") >= 3)
+    return v, q
+
+
+def q_ann_cosine_topk(spark, sf: str) -> DataFrame:
+    v, q = _queries_df(spark, sf)
+    out = cosine_topk(v, q, k=5)
+    return out.select(
+        "query_id", "vec_id", "cosine_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+SQL_ANN = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS embedding
+           FROM embeddings WHERE vec_id >= 3),
+     q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS query_vec
+           FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+         ROUND(list_dot_product(v.embedding, q.query_vec)
+               / (sqrt(list_dot_product(v.embedding, v.embedding))
+                  * sqrt(list_dot_product(q.query_vec, q.query_vec))), 6)
+           AS cosine_sim
+  FROM v CROSS JOIN q
+)
+SELECT query_id, vec_id, cosine_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id ASC)
+            AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_ann_lsh(spark, sf: str) -> DataFrame:
+    # xxhash64 hyperplanes → rows-only; recall pinned in tests/test_similarity.py
+    v, q = _queries_df(spark, sf)
+    return lsh_topk(v, q, dim=64, k=5, n_planes=4)
+
+
+def q_ann_ivf(spark, sf: str) -> DataFrame:
+    v, q = _queries_df(spark, sf)
+    out = ivf_topk(v, q, k=5, nlist=8, nprobe=8)
+    return out.select(
+        "query_id", "vec_id", "cosine_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# with nprobe == nlist the IVF search is exhaustive → exact answer
+SQL_ANN_IVF = SQL_ANN
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: main-content extraction."""
+    return q_extract_main_text(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_main_text": q_extract_main_text,
+        "geom_rect_algebra": q_geom_rect_algebra,
+        "geom_interval_ops": q_geom_interval_ops,
+        "geom_quad_shoelace": q_geom_quad_shoelace,
+        "geom_is_in_join": q_geom_is_in_join,
+        "geom_intersect_union": q_geom_intersect_union,
+        "layout_filter_sort_concat": q_layout_filter_sort_concat,
+        "group_by_category": q_group_by_category,
+        "ocr_gather_data": q_ocr_gather_data,
+        "gcv_fulltext": q_gcv_fulltext,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_region_revenue": q_join_region_revenue,
+        "topk_events_per_user": q_topk_events_per_user,
+        "set_ops_nations": q_set_ops_nations,
+        "sessionize_events": q_sessionize_events,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_buckets": q_simhash_buckets,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_lang_id": q_docs_lang_id,
+        "docs_quality": q_docs_quality,
+        "docs_fingerprint": q_docs_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_main_text": SQL_EXTRACT,
+        "geom_rect_algebra": SQL_GEOM_RECT,
+        "geom_interval_ops": SQL_GEOM_INTERVAL,
+        "geom_quad_shoelace": SQL_GEOM_QUAD,
+        "geom_is_in_join": SQL_GEOM_ISIN,
+        "geom_intersect_union": SQL_GEOM_IX,
+        "layout_filter_sort_concat": SQL_LAYOUT_FSC,
+        "group_by_category": SQL_GROUP_CAT,
+        "ocr_gather_data": SQL_OCR_GATHER,
+        "gcv_fulltext": SQL_GCV,
+        "agg_pricing_summary": SQL_Q1,
+        "join_region_revenue": SQL_REGION_REV,
+        "topk_events_per_user": SQL_TOPK,
+        "set_ops_nations": SQL_SETOPS,
+        "sessionize_events": SQL_SESSION,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+        "docs_token_stats": SQL_TOKEN_STATS,
+        "docs_lang_id": _sql_lang_id(),
+        "docs_quality": SQL_QUALITY,
+        "docs_fingerprint": SQL_FINGERPRINT,
+        "multimodal_meta": SQL_MULTIMODAL,
+        "ann_cosine_topk": SQL_ANN,
+        "ann_ivf": SQL_ANN_IVF,
+        # minhash_lsh / simhash_buckets / ann_lsh: xxhash64-based — no ANSI
+        # twin; driver rows-only check + pure-python oracles in tests/
+    }

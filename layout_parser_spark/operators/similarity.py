@@ -1,0 +1,200 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
+  set, JVM-side dot products via ``zip_with``/``aggregate``, per-query
+  top-k by window.  The correctness baseline.
+* ``lsh_topk`` — random-hyperplane LSH: deterministic hyperplanes derived
+  from xxhash64 of (dim, plane) — reproducible without RNG state; bucket
+  equi-join prunes candidates, then exact cosine re-ranks inside buckets.
+  The scale path: candidate generation is a shuffle on the signature, not
+  a cross join.
+* ``ivf_topk`` — IVF-style coarse quantization: k-means-free variant using
+  the nearest of NLIST deterministic "centroid" vectors (drawn from the
+  dataset by id), probe the closest NPROBE lists.
+
+All distance math is columnar (no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact brute-force cosine top-k of each query against ``vectors``.
+    The query side is broadcast (small); ties broken by ascending vector
+    id for determinism.  Output: (query_id, vec_id, cosine_sim, rank)."""
+    j = vectors.crossJoin(F.broadcast(queries))
+    sim = cosine(F.col(vec_col), F.col(qvec_col))
+    scored = j.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(id_col).alias("vec_id"),
+        F.round(sim, 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane(dim: int, plane_idx: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component d =
+    (xxhash64(d, plane_idx) % 1001 − 500) / 500 — reproducible everywhere
+    with no RNG state (Date.now/np.random are banned in this pipeline)."""
+    return F.array(
+        *[
+            (
+                (F.xxhash64(F.lit(d), F.lit(plane_idx)) % 1001).cast("double")
+                / 500.0
+                - 1.0
+            )
+            for d in range(dim)
+        ]
+    )
+
+
+def rh_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane signature as an n_planes-bit int."""
+    bits = []
+    for p in range(n_planes):
+        d = dot(vec, hyperplane(dim, p))
+        bits.append(
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: equi-join on the hyperplane signature bucket,
+    exact cosine re-rank inside the bucket.  Recall trades with n_planes;
+    at scale the join is a hash shuffle on the signature (candidates ≪ n),
+    vs the brute-force cross join."""
+    v = vectors.withColumn("_sig", rh_signature(F.col(vec_col), dim, n_planes))
+    q = queries.withColumn("_sig", rh_signature(F.col(qvec_col), dim, n_planes))
+    j = v.join(F.broadcast(q), on="_sig")
+    sim = cosine(F.col(vec_col), F.col(qvec_col))
+    scored = j.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(id_col).alias("vec_id"),
+        F.round(sim, 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-style ANN without trained centroids: the NLIST vectors with the
+    smallest ids serve as deterministic coarse centroids.  Every vector is
+    assigned to its nearest centroid (one broadcast join); each query
+    probes its NPROBE nearest lists.  Exact cosine re-rank within probed
+    lists."""
+    centroids = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(nlist)
+        .select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        )
+    )
+    # assign vectors to nearest centroid
+    vc = vectors.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "c_id",
+        cosine(F.col(vec_col), F.col("c_vec")).alias("c_sim"),
+    )
+    wv = Window.partitionBy(id_col).orderBy(
+        F.col("c_sim").desc(), F.col("c_id").asc()
+    )
+    assigned = (
+        vc.withColumn("r", F.row_number().over(wv)).where("r = 1").drop("r")
+    )
+    # queries probe nprobe nearest lists
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        qid_col,
+        qvec_col,
+        "c_id",
+        cosine(F.col(qvec_col), F.col("c_vec")).alias("c_sim"),
+    )
+    wq = Window.partitionBy(qid_col).orderBy(
+        F.col("c_sim").desc(), F.col("c_id").asc()
+    )
+    probes = (
+        qc.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= nprobe)
+        .select(qid_col, qvec_col, "c_id")
+    )
+    j = assigned.join(F.broadcast(probes), on="c_id")
+    sim = cosine(F.col(vec_col), F.col(qvec_col))
+    scored = j.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(id_col).alias("vec_id"),
+        F.round(sim, 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -1,0 +1,96 @@
+"""Text-analysis operators for a large-scale training-data pipeline:
+language ID, quality scoring, token stats, document fingerprinting.
+
+All pure Column expressions (JVM-side, codegen) over a text column — no
+UDFs.  Each has an exact ANSI-SQL twin in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists (n-gram heuristic lexicons — public
+#: common function words).  Deliberately small: the heuristic's quality is
+#: not the point, its deterministic distributed evaluation is.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "auf", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "que", "pour", "une"],
+    "es": ["el", "la", "de", "que", "los", "en", "es", "por", "con", "para"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "人"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the corpus is single-space separated)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish pre-tokenizer count: alnum runs + single non-alnum-non-space
+    marks, the standard GPT-style pre-split approximation."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
+    )
+
+
+def stopword_ratio(text: Column, lang: str) -> Column:
+    """fraction of tokens that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword ratios, ties
+    broken by language code order; 'und' when all ratios are 0."""
+    pairs = [
+        F.struct(
+            stopword_ratio(text, lang).alias("r"), F.lit(lang).alias("l")
+        )
+        for lang in sorted(STOPWORDS)
+    ]
+    best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
+    return F.when(best["r"] > 0, best["l"]).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: length band + mean token length
+    band + punctuation ratio penalty — the standard cheap pre-filter
+    family (C4/Gopher-style rules, re-expressed columnar)."""
+    n_chars = F.length(text)
+    n_toks = token_count(text)
+    mean_tok = n_chars / F.greatest(n_toks, F.lit(1))
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s一-鿿]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    len_ok = (
+        F.when(n_chars < 20, 0.0).when(n_chars > 10000, 0.5).otherwise(1.0)
+    )
+    tok_ok = F.when((mean_tok >= 2) & (mean_tok <= 12), 1.0).otherwise(0.5)
+    return F.round(
+        len_ok * 0.5 + tok_ok * 0.3 + (1.0 - punct_ratio) * 0.2, 6
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic position-weighted token fingerprint:
+    sum over tokens of (i+1) * (131*len(tok) + ascii(first char)), mod
+    2^31−1.  A cheap rolling-hash-style document signature that is exactly
+    expressible in both Spark and ANSI SQL (for the oracle)."""
+    toks = tokens(text)
+    weighted = F.zip_with(
+        toks,
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+        lambda t, i: i.cast("long")
+        * (F.lit(131) * F.length(t) + F.ascii(t)).cast("long"),
+    )
+    return F.pmod(
+        F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x),
+        F.lit(2147483647).cast("long"),
+    )

@@ -1,0 +1,149 @@
+"""Property pins for the xxhash64-based operators that have no SQL oracle:
+MinHash+LSH, SimHash, random-hyperplane LSH — plus the grouping/CCA tools
+ported from test_tools.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from layout_parser_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+    word_shingles,
+)
+from layout_parser_spark.operators.grouping import (
+    detect_lines_local,
+    gcca_1d,
+)
+from layout_parser_spark.operators.similarity import cosine_topk, lsh_topk, ivf_topk
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and dreams of fish"
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (0, BASE, "s"),
+        (1, BASE, "s"),  # exact duplicate of 0
+        (2, BASE.replace("dog", "wolf"), "s"),  # near-dup of 0
+        (3, "completely different words about spark query engines and "
+            "columnar execution with vectorized operators", "s"),
+        (4, "another unrelated text mentioning parquet iceberg shuffle "
+            "partitions and adaptive execution plans", "s"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_minhash_lsh_finds_dups(spark, dup_docs):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(
+            dup_docs, num_hashes=32, bands=16, threshold=0.3
+        ).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0  # exact dup: all signatures agree
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup found
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_hamming(spark, dup_docs):
+    rows = simhash_buckets(dup_docs).collect()
+    ham = {(r.id_a, r.id_b): r.hamming for r in rows}
+    assert ham.get((0, 1)) == 0  # identical text → identical simhash
+    if (0, 2) in ham:
+        assert ham[(0, 2)] <= 16  # near-dup → small distance
+    # unrelated docs should not collide in all-bucket terms with tiny dist
+    for k, v in ham.items():
+        if k in [(0, 3), (1, 3), (0, 4)]:
+            assert v > 4
+
+
+def test_ngram_jaccard_exact_pair(spark, dup_docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            dup_docs, threshold=0.1, block_col="source"
+        ).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0
+    assert 0.5 < pairs.get((0, 2), 0) < 1.0  # one word changed
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = emb.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    v = emb.where("vec_id >= 2")
+    exact = cosine_topk(v, q, k=10).collect()
+    approx = lsh_topk(v, q, dim=64, k=10, n_planes=2).collect()
+    exact_ids = {(r.query_id, r.vec_id) for r in exact}
+    approx_ids = {(r.query_id, r.vec_id) for r in approx}
+    # 2 planes → 4 buckets → ~25% of vectors share the query's bucket;
+    # recall of the true top-10 should be well above random
+    recall = len(exact_ids & approx_ids) / len(exact_ids)
+    assert recall >= 0.2, recall
+    # approx results are genuine (scores match the exact computation)
+    exact_scores = {(r.query_id, r.vec_id): r.cosine_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact_scores:
+            assert abs(exact_scores[(r.query_id, r.vec_id)] - r.cosine_sim) < 1e-9
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = emb.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    v = emb.where("vec_id >= 2")
+    exact = {(r.query_id, r.rank): r.vec_id for r in cosine_topk(v, q, k=5).collect()}
+    ivf = {(r.query_id, r.rank): r.vec_id for r in ivf_topk(v, q, k=5, nlist=8, nprobe=8).collect()}
+    assert exact == ivf  # nprobe == nlist → exhaustive → exact
+
+
+# ---------------------------------------------------------------------------
+# grouping tools — ported from reference tests/test_tools.py
+# ---------------------------------------------------------------------------
+def test_gcca_integer_sequences():
+    """test_tools.py:22-52: tolerance-1 CCA over [1,2,3,5,6,7] → 2 comps."""
+    seq = [1, 2, 3, 5, 6, 7]
+    comps = gcca_1d(seq, lambda a, b: abs(a - b) <= 1)
+    assert comps == [[1, 2, 3], [5, 6, 7]]
+    comps = gcca_1d(seq, lambda a, b: abs(a - b) <= 2)
+    assert comps == [[1, 2, 3, 5, 6, 7]]
+    # aggregation function applied per component
+    comps = gcca_1d(seq, lambda a, b: abs(a - b) <= 1, sum)
+    assert comps == [6, 18]
+
+
+def test_line_detection_tolerance_swap():
+    """The call-site tolerance swap (shape_operations.py:126-130): passing
+    asymmetric tolerances must behave SWAPPED — x_tolerance acts on y."""
+    # two tokens on the same row, 5px horizontal gap, same center y
+    a = (0.0, 0.0, 10.0, 10.0)
+    b = (15.0, 0.0, 25.0, 10.0)
+    # gap = 5; same y.  y_tolerance (which acts as the horizontal gap
+    # budget, due to the swap) = 6 → merged; 4 → not merged.
+    assert len(detect_lines_local([a, b], x_tolerance=0, y_tolerance=6)) == 1
+    assert len(detect_lines_local([a, b], x_tolerance=0, y_tolerance=4)) == 2
+    # vertical offset 5 with x_tolerance (vertical budget, swapped) 6 vs 4
+    c = (15.0, 5.0, 25.0, 15.0)
+    assert len(detect_lines_local([a, c], x_tolerance=6, y_tolerance=6)) == 1
+    assert len(detect_lines_local([a, c], x_tolerance=4, y_tolerance=6)) == 2
+
+
+def test_line_detection_counts_multirow():
+    """Default tolerances group a 2-row word grid into 2 lines (the
+    reference invariant style: 15 lines on example.pdf)."""
+    row1 = [(i * 20.0, 0.0, i * 20.0 + 15.0, 10.0) for i in range(5)]
+    row2 = [(i * 20.0, 30.0, i * 20.0 + 15.0, 40.0) for i in range(5)]
+    lines = detect_lines_local(row1 + row2)
+    assert len(lines) == 2
+    assert lines[0] == (0.0, 0.0, 95.0, 10.0)
+    assert lines[1] == (0.0, 30.0, 95.0, 40.0)
