@@ -45,9 +45,13 @@ def dedup_exact(
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>)."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a TOKEN ARRAY column.
+
+    Performance contract: ``toks`` must be a plain attribute (stage
+    ``split()`` into its own select first).  Catalyst does not CSE across
+    lambda boundaries, so passing ``split(text)`` here re-evaluates the
+    split for every element access — O(tokens²) per document."""
     k = F.size(toks) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
@@ -59,6 +63,27 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     # tokens contribute no shingles
     return F.when(k >= 1, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+    Fine for literals/tests; pipelines should stage tokens first and use
+    ``shingles_from_tokens`` (see its performance contract)."""
+    return shingles_from_tokens(tokens(text), n)
+
+
+def _staged_shingles(df: DataFrame, text_col: str, id_col: str, n: int,
+                     block_col=None) -> DataFrame:
+    """(id[, blk], _sh) with tokens and shingles staged through separate
+    projections so each is computed exactly once per document."""
+    cols = [F.col(id_col).alias("id")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    toksd = df.select(*cols, F.split(F.col(text_col), " ").alias("_toks"))
+    return toksd.select(
+        *[c for c in ["id", "blk"] if block_col or c == "id"],
+        shingles_from_tokens(F.col("_toks"), n).alias("_sh"),
     )
 
 
@@ -76,11 +101,12 @@ def ngram_jaccard_pairs(
     blocking column to bound candidates) → |A∩B| by pair-count →
     J = inter / (|A| + |B| − inter).  Returns (id_a, id_b, jaccard),
     id_a < id_b."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-        F.size(word_shingles(F.col(text_col), n)).alias("n_sh"),
+    staged = _staged_shingles(df, text_col, id_col, n, block_col)
+    sh = staged.select(
+        "id",
+        *(["blk"] if block_col else []),
+        F.size("_sh").alias("n_sh"),
+        F.explode("_sh").alias("shingle"),
     )
     join_keys = ["shingle"] + (["blk"] if block_col else [])
     a = sh.select(
@@ -109,10 +135,11 @@ def ngram_jaccard_pairs(
     return pairs
 
 
-def minhash_signature(text: Column, num_hashes: int = 64, n: int = 3) -> Column:
-    """array<long> MinHash signature: per permutation seed i,
-    min over shingles of xxhash64(shingle, i) — one pass, map-side."""
-    sh = word_shingles(text, n)
+def minhash_from_shingles(sh: Column, num_hashes: int = 64) -> Column:
+    """array<long> MinHash signature from a SHINGLE ARRAY attribute: per
+    permutation seed i, min over shingles of xxhash64(shingle, i) — one
+    pass, map-side.  ``sh`` must be a plain attribute (it is referenced
+    num_hashes times)."""
 
     def _perm(seed):
         # NB: a 1-arg lambda is required — a second (defaulted) parameter
@@ -123,6 +150,11 @@ def minhash_signature(text: Column, num_hashes: int = 64, n: int = 3) -> Column:
         F.array_min(F.transform(sh, _perm(i))) for i in range(num_hashes)
     ]
     return F.array(*sigs)
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, n: int = 3) -> Column:
+    """Literal/test convenience; pipelines stage shingles first."""
+    return minhash_from_shingles(word_shingles(text, n), num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -142,9 +174,9 @@ def minhash_lsh_pairs(
     generated by an equi-shuffle on (band, hash-of-band), never by a cross
     join.  Returns (id_a, id_b, est_jaccard)."""
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, n).alias("sig"),
+    staged = _staged_shingles(df, text_col, id_col, n)
+    sig = staged.select(
+        "id", minhash_from_shingles(F.col("_sh"), num_hashes).alias("sig")
     )
     banded = sig.select(
         "id",
@@ -202,12 +234,9 @@ def minhash_lsh_pairs(
     ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash over tokens: for each bit position, sum ±1 weighted by
-    token-hash bit; sign → bit.  Pure columnar: per-token xxhash64, then a
-    64-lane aggregate."""
-    toks = tokens(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+def simhash_from_hashes(hashes: Column, n_toks: Column) -> Column:
+    """64-bit SimHash from a token-hash ARRAY attribute (see
+    shingles_from_tokens performance contract)."""
 
     def _bit_set(bit):
         # 1-arg closure (see minhash_signature note)
@@ -219,7 +248,7 @@ def simhash64(text: Column) -> Column:
         setcnt = F.size(F.filter(hashes, _bit_set(bit)))
         lanes.append(
             F.when(
-                (setcnt * 2) >= F.size(toks),
+                (setcnt * 2) >= n_toks,
                 F.shiftleft(F.lit(1).cast("long"), bit),
             ).otherwise(F.lit(0).cast("long"))
         )
@@ -229,6 +258,15 @@ def simhash64(text: Column) -> Column:
     return out
 
 
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over tokens: per bit position, majority vote of the
+    token xxhash64 bits.  Literal/test convenience; pipelines stage the
+    hash array first (``simhash_from_hashes``)."""
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return simhash_from_hashes(hashes, F.size(toks))
+
+
 def simhash_buckets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -236,8 +274,16 @@ def simhash_buckets(
     chunks; docs within hamming distance 3 share at least one chunk
     (pigeonhole), so an equi-join on (chunk_idx, chunk) finds all such
     pairs without a cross join."""
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
+    toksd = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    hashed = toksd.select(
+        "id",
+        F.transform(F.col("_toks"), lambda t: F.xxhash64(t)).alias("_h"),
+        F.size("_toks").alias("_n"),
+    )
+    sh = hashed.select(
+        "id", simhash_from_hashes(F.col("_h"), F.col("_n")).alias("sim")
     )
     chunks = sh.select(
         "id",

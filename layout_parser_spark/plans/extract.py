@@ -35,7 +35,6 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.predicates import is_in
 from .reading_order import xy_cut_texts
 from .segment import BOILERPLATE_TYPES, segment_pages
 
@@ -47,14 +46,31 @@ BAND_WIDTH_FRAC = 0.9
 def keep_main_block(
     b: Column, figures: Column, page_w: Column, page_h: Column
 ) -> Column:
-    """Boolean keep-predicate for one block (see module doc, step 3)."""
+    """Boolean keep-predicate for one block (see module doc, step 3).
+
+    The figure-containment test is the rectangle×rectangle center case of
+    the general ``is_in(b, f, center=True)`` predicate
+    (layout_elements.py:636-641), specialized here because segmentation
+    emits rectangles only: higher-order lambdas are evaluated interpreted
+    (no whole-stage codegen), so the full 3×3 shape-dispatch tree would run
+    per (block × figure) pair in the hot path.  ``functions.predicates
+    .is_in`` remains the general API (tested equivalent on rectangles in
+    tests/test_extract.py)."""
     typed_ok = ~b["type"].isin(*BOILERPLATE_TYPES, "Figure")
     link_ok = b["score"] >= (1.0 - LINK_DENSITY_MAX)
     w = b["x_2"] - b["x_1"]
     is_band = (w >= BAND_WIDTH_FRAC * page_w) & (
         (b["y_2"] <= BAND_FRAC * page_h) | (b["y_1"] >= (1 - BAND_FRAC) * page_h)
     )
-    in_figure = F.exists(figures, lambda f: is_in(b, f, center=True))
+    cx = (b["x_1"] + b["x_2"]) / 2.0
+    cy = (b["y_1"] + b["y_2"]) / 2.0
+    in_figure = F.exists(
+        figures,
+        lambda f: (f["x_1"] <= cx)
+        & (cx <= f["x_2"])
+        & (f["y_1"] <= cy)
+        & (cy <= f["y_2"]),
+    )
     return typed_ok & link_ok & ~is_band & ~in_figure
 
 

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StructField, StructType
+from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
 from ..schema import FIELD_NAMES, LAYOUT, TEXTBLOCK
 
@@ -162,9 +162,142 @@ def segment_html(html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"page_data": pages, "blocks": blocks})
 
 
+def parse_page_arrays(html: str):
+    """Parse one page → (page_w, page_h, column lists).  The flat-array
+    twin of ``parse_page`` used by the hot path (see ``segment_pages``)."""
+    p = _SegmentParser()
+    p.feed(html)
+    x1, y1, x2, y2 = [], [], [], []
+    texts, types, parents, scores = [], [], [], []
+    for blk in p.blocks:
+        raw = "".join(blk.chunks)
+        text = " ".join(raw.split())
+        total = len(raw.strip())
+        link_density = (blk.link_chars / total) if total else 0.0
+        x1.append(blk.box[0])
+        y1.append(blk.box[1])
+        x2.append(blk.box[2])
+        y2.append(blk.box[3])
+        texts.append(text)
+        types.append(blk.type)
+        parents.append(blk.parent)
+        scores.append(1.0 - link_density)
+    return p.page_w, p.page_h, (x1, y1, x2, y2, texts, types, parents, scores)
+
+
+_ARRAY_COLS = [
+    ("_bx1", "array<double>"),
+    ("_by1", "array<double>"),
+    ("_bx2", "array<double>"),
+    ("_by2", "array<double>"),
+    ("_btext", "array<string>"),
+    ("_btype", "array<string>"),
+    ("_bparent", "array<bigint>"),
+    ("_bscore", "array<double>"),
+]
+
+
+def segment_pages_arrays(pages_df, html_col: str = "html") -> "DataFrame":
+    """pages(…, html) → (all columns except html) + page_w/page_h + 8 flat
+    primitive block arrays.  One narrow Arrow stage (mapInPandas).
+
+    Why flat arrays instead of ARRAY<TEXTBLOCK>: converting per-block
+    python dicts into Arrow nested structs costs more than the HTML parse
+    itself at scale (~5M dict objects per 400k docs).  Primitive lists
+    convert near-memcpy-fast; the TEXTBLOCK structs are then assembled
+    JVM-side by ``attach_blocks`` inside whole-stage codegen."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    passthrough = [f for f in pages_df.schema.fields if f.name != html_col]
+    out_schema = StructType(
+        passthrough
+        + [
+            StructField("page_w", DoubleType(), True),
+            StructField("page_h", DoubleType(), True),
+        ]
+        + [
+            StructField(n, _parse_datatype_string(t), True)
+            for n, t in _ARRAY_COLS
+        ]
+    )
+    names = [f.name for f in passthrough]
+
+    def gen(batches):
+        for pdf in batches:
+            cols = {n: [] for n, _ in _ARRAY_COLS}
+            ws, hs = [], []
+            for payload in pdf[html_col]:
+                if payload is None:
+                    ws.append(None)
+                    hs.append(None)
+                    for (n, _t) in _ARRAY_COLS:
+                        cols[n].append([])
+                    continue
+                if isinstance(payload, (bytes, bytearray)):
+                    payload = payload.decode("utf-8", errors="replace")
+                w, h, arrs = parse_page_arrays(payload)
+                ws.append(w)
+                hs.append(h)
+                for (n, _t), arr in zip(_ARRAY_COLS, arrs):
+                    cols[n].append(arr)
+            out = pdf[names].copy()
+            out["page_w"] = ws
+            out["page_h"] = hs
+            for n, _t in _ARRAY_COLS:
+                out[n] = cols[n]
+            yield out
+
+    return pages_df.mapInPandas(gen, schema=out_schema)
+
+
+def attach_blocks(df) -> "DataFrame":
+    """flat block arrays → (page_data STRUCT, blocks ARRAY<TEXTBLOCK>),
+    built entirely JVM-side (zip + per-element struct construction in
+    codegen).  ``id`` is the document-order index (= zip position)."""
+    from .. import schema as S
+
+    z = F.arrays_zip(
+        F.col("_bx1").alias("x1"),
+        F.col("_by1").alias("y1"),
+        F.col("_bx2").alias("x2"),
+        F.col("_by2").alias("y2"),
+        F.col("_btext").alias("text"),
+        F.col("_btype").alias("type"),
+        F.col("_bparent").alias("parent"),
+        F.col("_bscore").alias("score"),
+    )
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("_bx1")) - 1, F.lit(0))
+    )
+    blocks = F.zip_with(
+        z,
+        idx,
+        lambda r, i: S.make_block(
+            block_type="rectangle",
+            x_1=r["x1"],
+            y_1=r["y1"],
+            x_2=r["x2"],
+            y_2=r["y2"],
+            text=r["text"],
+            type=r["type"],
+            parent=r["parent"],
+            score=r["score"],
+            id=i,
+        ),
+    )
+    page_data = F.struct(
+        F.col("page_w").alias("width"),
+        F.col("page_h").alias("height"),
+        F.lit(0).alias("index"),
+    )
+    out = df.withColumn("page_data", page_data).withColumn("blocks", blocks)
+    return out.drop("page_w", "page_h", *[n for n, _ in _ARRAY_COLS])
+
+
 def segment_pages(pages_df, html_col: str = "html") -> "DataFrame":
     """pages(url, …, html) → (all columns except html) + (page_data,
-    blocks).  One narrow Arrow stage (mapInPandas), no shuffle.
+    blocks).  One narrow Arrow stage (mapInPandas) + JVM-side struct
+    assembly, no shuffle.
 
     Implemented as ``mapInPandas`` rather than a scalar struct-returning
     pandas UDF for two reasons: (1) the fat ``html`` payload column is
@@ -174,33 +307,4 @@ def segment_pages(pages_df, html_col: str = "html") -> "DataFrame":
     this UDF embedded in their argument trees (Spark's Python-UDF
     extraction mishandles chained UDFs through nested lambdas —
     'Cannot evaluate expression' — when projections collapse)."""
-    passthrough = [f for f in pages_df.schema.fields if f.name != html_col]
-    out_schema = StructType(
-        passthrough
-        + [
-            StructField("page_data", LAYOUT["page_data"].dataType, True),
-            StructField("blocks", LAYOUT["blocks"].dataType, True),
-        ]
-    )
-    names = [f.name for f in passthrough]
-
-    def gen(batches):
-        for pdf in batches:
-            pages = []
-            blocks = []
-            for payload in pdf[html_col]:
-                if payload is None:
-                    pages.append(None)
-                    blocks.append([])
-                    continue
-                if isinstance(payload, (bytes, bytearray)):
-                    payload = payload.decode("utf-8", errors="replace")
-                w, h, rows = parse_page(payload)
-                pages.append({"width": w, "height": h, "index": 0})
-                blocks.append(rows)
-            out = pdf[names].copy()
-            out["page_data"] = pages
-            out["blocks"] = blocks
-            yield out
-
-    return pages_df.mapInPandas(gen, schema=out_schema)
+    return attach_blocks(segment_pages_arrays(pages_df, html_col))

@@ -91,3 +91,34 @@ def test_engine_matches_independent_oracle(spark):
     for r in local:
         expected = oracle_extract(bytes(r.html).decode("utf-8"))
         assert engine[r.doc_id] == expected, r.doc_id
+
+
+def test_specialized_fig_predicate_equals_is_in(ev):
+    """extract.keep_main_block's rect×rect center test must equal the
+    general is_in(center=True) predicate on rectangles."""
+    from layout_parser_spark import schema as S
+    from layout_parser_spark.functions import is_in
+
+    cases = [
+        ((240, 500, 740, 660), (240, 500, 740, 660)),  # self
+        ((260, 620, 720, 650), (240, 500, 740, 660)),  # caption in figure
+        ((0, 0, 10, 10), (240, 500, 740, 660)),        # far outside
+        ((230, 490, 250, 510), (240, 500, 740, 660)),  # center on edge
+    ]
+    exprs = []
+    for i, (bb, ff) in enumerate(cases):
+        b = S.rectangle(*map(float, bb))
+        f = S.rectangle(*map(float, ff))
+        general = is_in(b, f, center=True)
+        cx = (b["x_1"] + b["x_2"]) / 2.0
+        cy = (b["y_1"] + b["y_2"]) / 2.0
+        special = (
+            (f["x_1"] <= cx) & (cx <= f["x_2"])
+            & (f["y_1"] <= cy) & (cy <= f["y_2"])
+        )
+        exprs.append(general.alias(f"g{i}"))
+        exprs.append(special.alias(f"s{i}"))
+    row = ev(*exprs)
+    d = row.asDict()
+    for i in range(len(cases)):
+        assert d[f"g{i}"] == d[f"s{i}"], (i, d)
