@@ -1,0 +1,145 @@
+"""PDF token source (SURVEY §2.6; reference ``io/pdf.py``).
+
+``load_pdf`` in the reference runs pdfplumber ``extract_words`` per page
+(x_tolerance=1.5, y_tolerance=2, use_text_flow=True — io/pdf.py:45-53),
+clips coords to the page box (:60-65), renames x0/x1/top/bottom →
+x_1/x_2/y_1/y_2, maps **fontname → type** (:67-79), assigns id = index and
+records page width/height/index in page_data (:199-201).
+
+pdfplumber is not installed in this container, so the source is gated: the
+Spark plumbing (binary payload → ARRAY<TEXTBLOCK> per page via
+mapInPandas) is real; the token extraction raises ``NotImplementedError``
+unless pdfplumber is importable, and tests exercise the conversion with a
+fake extractor.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from ..schema import FIELD_NAMES, LAYOUT, PAGE_DATA, TEXTBLOCK
+
+try:
+    import pdfplumber  # noqa: F401
+
+    HAVE_PDFPLUMBER = True
+except ImportError:
+    HAVE_PDFPLUMBER = False
+
+#: reference defaults (io/pdf.py:45-53)
+X_TOLERANCE = 1.5
+Y_TOLERANCE = 2
+
+
+def words_to_blocks(words: List[dict], page_w: float, page_h: float) -> List[dict]:
+    """pdfplumber word dicts → TEXTBLOCK rows with the reference's
+    clip/rename/font-type semantics (io/pdf.py:60-79)."""
+    rows = []
+    for i, w in enumerate(words):
+        x_1 = min(max(float(w["x0"]), 0.0), page_w)
+        x_2 = min(max(float(w["x1"]), 0.0), page_w)
+        y_1 = min(max(float(w["top"]), 0.0), page_h)
+        y_2 = min(max(float(w["bottom"]), 0.0), page_h)
+        row = {n: None for n in FIELD_NAMES}
+        row.update(
+            block_type="rectangle",
+            x_1=x_1,
+            y_1=y_1,
+            x_2=x_2,
+            y_2=y_2,
+            text=w.get("text"),
+            id=i,
+            type=w.get("fontname"),  # fontname → type (io/pdf.py:76)
+        )
+        rows.append(row)
+    return rows
+
+
+def extract_pdf_pages(payload: bytes) -> List[tuple]:
+    """One PDF binary → [(page_index, page_w, page_h, blocks)].  Requires
+    pdfplumber."""
+    if not HAVE_PDFPLUMBER:
+        raise NotImplementedError(
+            "pdfplumber is not available in this environment; the Spark "
+            "plumbing is tested with a fake extractor (tests/test_io.py)"
+        )
+    import io as _io
+
+    out = []
+    with pdfplumber.open(_io.BytesIO(payload)) as pdf:
+        for idx, page in enumerate(pdf.pages):
+            words = page.extract_words(
+                x_tolerance=X_TOLERANCE,
+                y_tolerance=Y_TOLERANCE,
+                keep_blank_chars=False,
+                use_text_flow=True,
+            )
+            out.append(
+                (
+                    idx,
+                    float(page.width),
+                    float(page.height),
+                    words_to_blocks(words, float(page.width), float(page.height)),
+                )
+            )
+    return out
+
+
+PDF_PAGES_SCHEMA = StructType(
+    [
+        StructField("page_data", PAGE_DATA, True),
+        StructField("blocks", LAYOUT["blocks"].dataType, True),
+    ]
+)
+
+
+def load_pdf_pages(
+    df: DataFrame,
+    payload_col: str = "payload",
+    key_cols: tuple = ("url",),
+    extractor=None,
+) -> DataFrame:
+    """(key…, payload BINARY) → one row per PDF PAGE with (page_data,
+    blocks) — the distributed ``lp.load_pdf``.  ``extractor`` defaults to
+    the pdfplumber path; tests inject a deterministic fake with the same
+    signature."""
+    extract = extractor or extract_pdf_pages
+    key_fields = [df.schema[c] for c in key_cols]
+    schema = StructType(
+        list(key_fields)
+        + [
+            StructField("page_data", PAGE_DATA, True),
+            StructField("blocks", LAYOUT["blocks"].dataType, True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            recs = []
+            for _, row in pdf_batch.iterrows():
+                payload = row[payload_col]
+                if payload is None:
+                    continue
+                for idx, w, h, blocks in extract(bytes(payload)):
+                    recs.append(
+                        tuple(row[c] for c in key_cols)
+                        + (
+                            {"width": w, "height": h, "index": idx},
+                            blocks,
+                        )
+                    )
+            yield pd.DataFrame(
+                recs, columns=list(key_cols) + ["page_data", "blocks"]
+            )
+
+    return df.mapInPandas(gen, schema=schema)

@@ -1,0 +1,60 @@
+"""Structured Streaming variant of the extraction pipeline.
+
+The reference has no streaming (SURVEY §1.3/§2.11); the engine still ships
+the streaming shape because a Common-Crawl-style ingest IS a stream of
+WARC batches in production:
+
+* ``extract_stream`` — ``readStream`` (file source over the pages parquet
+  layout) → the SAME narrow extraction transforms (mapInPandas +
+  expressions compose with streaming unchanged) → any sink.  Exactly-once
+  via checkpointLocation + file-sink transaction log.
+* ``windowed_block_stats`` — an event-time windowed aggregate with a
+  watermark over ``warc_ts`` (late-data bound), demonstrating the
+  stateful-agg shape (counts + byte volume per 10-minute crawl window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.extract import extract_main_text
+
+
+def extract_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    schema=None,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Streaming pages source → extraction transforms.  Returns the
+    streaming DataFrame; caller attaches ``writeStream`` (see
+    tests/test_streaming.py for the parquet-sink wiring)."""
+    if schema is None:
+        schema = spark.read.parquet(pages_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+    return extract_main_text(stream)
+
+
+def windowed_block_stats(extracted: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Event-time windowed aggregate with a watermark on ``warc_ts``:
+    docs + text bytes + mean blocks per 10-minute crawl window."""
+    return (
+        extracted.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("extracted_text")).alias("text_bytes"),
+            F.avg("n_blocks").alias("avg_blocks"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_docs",
+            "text_bytes",
+            "avg_blocks",
+        )
+    )

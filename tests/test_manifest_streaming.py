@@ -1,0 +1,124 @@
+"""Checkpoint-manifest resume (north_rule lineage) and the Structured
+Streaming extraction variant."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from layout_parser_spark.plans.extract import extract_main_text
+from layout_parser_spark.plans.manifest import (
+    completed_buckets,
+    read_manifest,
+    run_with_manifest,
+)
+from layout_parser_spark.sources import synth_pages
+
+
+@pytest.fixture()
+def pages(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    return synth_pages(docs)
+
+
+def test_manifest_resume(spark, pages, tmp_path):
+    out_root = str(tmp_path / "out")
+    # first run: only 2 of 4 buckets (simulated interruption)
+    r1 = run_with_manifest(
+        spark, pages, out_root, n_buckets=4,
+        pipeline=lambda df: extract_main_text(df).select(
+            "url", "doc_id", "extracted_text"
+        ),
+        run_id="r1", max_buckets_per_run=2,
+    )
+    assert r1["processed"] == [0, 1] and r1["skipped"] == []
+    assert sorted(completed_buckets(spark, out_root)) == [0, 1]
+
+    # resume: anti-join leaves only the pending buckets
+    r2 = run_with_manifest(
+        spark, pages, out_root, n_buckets=4,
+        pipeline=lambda df: extract_main_text(df).select(
+            "url", "doc_id", "extracted_text"
+        ),
+        run_id="r2",
+    )
+    assert r2["processed"] == [2, 3] and r2["skipped"] == [0, 1]
+
+    # manifest metrics: doc counts per bucket sum to the corpus
+    m = read_manifest(spark, out_root)
+    stats = m.agg(F.sum("doc_count"), F.sum("byte_count")).collect()[0]
+    assert stats[0] == 80 and stats[1] > 0
+    # all output rows present exactly once
+    got = spark.read.parquet(out_root + "/bucket=*")
+    assert got.count() == 80
+    assert got.select("doc_id").distinct().count() == 80
+
+    # idempotence: a third run does nothing
+    r3 = run_with_manifest(
+        spark, pages, out_root, n_buckets=4,
+        pipeline=lambda df: extract_main_text(df).select(
+            "url", "doc_id", "extracted_text"
+        ),
+    )
+    assert r3["processed"] == []
+
+
+def test_streaming_extraction(spark, pages, tmp_path):
+    from layout_parser_spark.streaming import extract_stream
+
+    src = str(tmp_path / "pages")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    pages.repartition(4).write.parquet(src)
+
+    stream = extract_stream(spark, src, max_files_per_trigger=2)
+    assert stream.isStreaming
+    q = (
+        stream.select("url", "doc_id", "text", "extracted_text")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    rows = out.collect()
+    assert len(rows) == 80
+    # streaming output preserves the byte-identity invariant
+    assert all(r.extracted_text == r.text for r in rows)
+
+    # exactly-once on restart: availableNow with same checkpoint adds nothing
+    q2 = (
+        extract_stream(spark, src, max_files_per_trigger=2)
+        .select("url", "doc_id", "text", "extracted_text")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 80
+
+
+def test_streaming_windowed_stats(spark, pages, tmp_path):
+    from layout_parser_spark.streaming import extract_stream, windowed_block_stats
+
+    src = str(tmp_path / "pages2")
+    pages.write.parquet(src)
+    stream = extract_stream(spark, src)
+    stats = windowed_block_stats(stream)
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("winstats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from winstats").collect()
+    assert sum(r.n_docs for r in got) == 80
+    assert all(r.text_bytes > 0 for r in got)
