@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Production entry point: main-content extraction over a pages table.
+
+Deployment (north_rule)::
+
+    zip -r layout_parser_spark.zip layout_parser_spark
+    spark-submit --py-files layout_parser_spark.zip job.py \
+        --input  <pages parquet/iceberg path> \
+        --output <output root> \
+        --buckets 4096 --salt-partitions 8192
+
+Design for the 10^12-doc cluster run:
+
+* the input table is expected hash-bucketed on url (Iceberg
+  ``bucket(N, url)``); ``--buckets`` drives the manifest/resume unit —
+  re-running the same command after ANY interruption resumes exactly at
+  the pending buckets (plans/manifest.py);
+* ``--salt-partitions`` applies the explicit salted repartition
+  ``pmod(xxhash64(url, salt), S)`` in front of the segmentation UDF stage
+  to spread hot hosts;
+* AQE + Arrow batch sizing come from ``session.DEFAULT_CONF`` and can be
+  overridden by ``spark-submit --conf``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="pages table path (parquet)")
+    ap.add_argument("--output", required=True, help="output root")
+    ap.add_argument("--buckets", type=int, default=64,
+                    help="manifest/resume bucket count (match table bucketing)")
+    ap.add_argument("--salt-partitions", type=int, default=None,
+                    help="salted repartition width before the UDF stage")
+    ap.add_argument("--salt-round", type=int, default=0)
+    ap.add_argument("--run-id", default="r0")
+    ap.add_argument("--max-buckets", type=int, default=None,
+                    help="process at most N pending buckets (for canaries)")
+    ap.add_argument("--lang", default=None,
+                    help="optional lang pushdown filter, e.g. 'en'")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from layout_parser_spark.plans.extract import extract_main_text
+    from layout_parser_spark.plans.manifest import run_with_manifest
+    from layout_parser_spark.session import get_spark
+
+    spark = get_spark("lps-extract")
+    pages = spark.read.parquet(args.input)
+    if args.lang:
+        # native Column filter BEFORE the UDF stage → pushed into the scan
+        pages = pages.where(F.col("lang") == args.lang)
+
+    def pipeline(df):
+        out = extract_main_text(
+            df,
+            salt_partitions=args.salt_partitions,
+            salt_round=args.salt_round,
+        )
+        return out.select(
+            "url", "warc_ts", "lang", "extracted_text", "n_blocks"
+        )
+
+    result = run_with_manifest(
+        spark,
+        pages,
+        args.output,
+        n_buckets=args.buckets,
+        pipeline=pipeline,
+        run_id=args.run_id,
+        max_buckets_per_run=args.max_buckets,
+    )
+    print(
+        f"processed={len(result['processed'])} buckets, "
+        f"skipped(previously done)={len(result['skipped'])}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

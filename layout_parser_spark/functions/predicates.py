@@ -321,59 +321,146 @@ _AXIS_MSG = (
 )
 
 
+def _combine(
+    b: Column,
+    other: Column,
+    strict: bool,
+    is_union: bool,
+    compat: bool = True,
+) -> Column:
+    """Shared field-wise body of intersect/union.
+
+    Built as ONE struct whose fields are small when-chains — NOT a
+    when-chain over full struct builds: the latter generates thousands of
+    expression nodes per row, whose generated code exceeds JIT limits and
+    runs ~100× slower (see tests/perf notes in the repo history).
+
+    Case analysis (strict=False downcasts quads to their bbox, which is
+    exactly what ``coords4`` yields — so the rectangle formulas below
+    already cover downcast quads):
+
+    * I×I same axis → interval combine, keeping SELF's canvas (:310-316 /
+      :347-354); cross-axis: intersect → Rectangle(:303-308), union →
+      InvalidShapeError (:342-346).
+    * I×R(-ish) → clamp/extend the matching axis band (:312-323/:360-371).
+    * R(-ish)×I → intersect: delegates to other.intersect(self), same
+      formula (:662-663); union compat=True: the Rectangle.union(Interval)
+      BUG returns other.intersect(self) (:692-693) — applied ONLY when b
+      is a true rectangle (a downcast quad routes through
+      Interval.union(Rectangle), the TRUE union, :1049-1053 → :360-371).
+    * R(-ish)×R(-ish) → corner-wise greatest/least.
+    """
+    bi, oi = is_interval(b), is_interval(other)
+    bq = is_quadrilateral(b)
+    lo, hi = (F.least, F.greatest) if is_union else (F.greatest, F.least)
+
+    ii = bi & oi
+    same_axis = b["axis"] == other["axis"]
+    ii_same = ii & same_axis
+    nd = F.lit(None).cast("double")
+
+    bc1, bc2, bc3, bc4 = coords4(b)
+    oc1, oc2, oc3, oc4 = coords4(other)
+
+    block_type = F.when(ii_same, F.lit(INTERVAL)).otherwise(F.lit(RECTANGLE))
+    start = F.when(ii_same, lo(b["start"], other["start"])).otherwise(nd)
+    end = F.when(ii_same, hi(b["end"], other["end"])).otherwise(nd)
+    axis = F.when(ii_same, b["axis"]).otherwise(F.lit(None).cast("string"))
+    canvas_h = F.when(ii_same, b["canvas_height"]).otherwise(nd)
+    canvas_w = F.when(ii_same, b["canvas_width"]).otherwise(nd)
+
+    # I×I cross-axis rectangle (intersect only): x-interval supplies x,
+    # y-interval supplies y
+    iix1 = F.when(b["axis"] == "x", b["start"]).otherwise(other["start"])
+    iiy1 = F.when(b["axis"] == "x", other["start"]).otherwise(b["start"])
+    iix2 = F.when(b["axis"] == "x", b["end"]).otherwise(other["end"])
+    iiy2 = F.when(b["axis"] == "x", other["end"]).otherwise(b["end"])
+
+    # union r_i bug handling: pick the combiner per row
+    if is_union and compat:
+        # true union for quad-b, bug (intersection) for rect-b
+        def ri_lo(x, y):
+            return F.when(bq, F.least(x, y)).otherwise(F.greatest(x, y))
+
+        def ri_hi(x, y):
+            return F.when(bq, F.greatest(x, y)).otherwise(F.least(x, y))
+
+    else:
+        ri_lo, ri_hi = lo, hi
+
+    def _fields(i):
+        """output rect coord #i (1..4) per case."""
+        # I × rect-ish: combine along b.axis, take other's other-axis
+        if i == 1:
+            i_r = F.when(b["axis"] == "x", lo(oc1, b["start"])).otherwise(oc1)
+            r_i = F.when(
+                other["axis"] == "x", ri_lo(bc1, other["start"])
+            ).otherwise(bc1)
+            r_r = lo(bc1, oc1)
+            ii_c = iix1
+        elif i == 2:
+            i_r = F.when(b["axis"] == "x", oc2).otherwise(lo(oc2, b["start"]))
+            r_i = F.when(other["axis"] == "x", bc2).otherwise(
+                ri_lo(bc2, other["start"])
+            )
+            r_r = lo(bc2, oc2)
+            ii_c = iiy1
+        elif i == 3:
+            i_r = F.when(b["axis"] == "x", hi(oc3, b["end"])).otherwise(oc3)
+            r_i = F.when(
+                other["axis"] == "x", ri_hi(bc3, other["end"])
+            ).otherwise(bc3)
+            r_r = hi(bc3, oc3)
+            ii_c = iix2
+        else:
+            i_r = F.when(b["axis"] == "x", oc4).otherwise(hi(oc4, b["end"]))
+            r_i = F.when(other["axis"] == "x", bc4).otherwise(
+                ri_hi(bc4, other["end"])
+            )
+            r_r = hi(bc4, oc4)
+            ii_c = iiy2
+        return (
+            F.when(ii_same, nd)
+            .when(ii, ii_c)
+            .when(bi, i_r)
+            .when(oi, r_i)
+            .otherwise(r_r)
+        )
+
+    geom = S.make_block(
+        block_type=block_type,
+        start=start,
+        end=end,
+        axis=axis,
+        canvas_height=canvas_h,
+        canvas_width=canvas_w,
+        x_1=_fields(1),
+        y_1=_fields(2),
+        x_2=_fields(3),
+        y_2=_fields(4),
+    )
+    result = S.with_meta(geom, b)
+
+    quad_involved = is_quadrilateral(b) | is_quadrilateral(other)
+    if strict:
+        result = F.when(
+            quad_involved, _err(S.TEXTBLOCK, _QUAD_MSG)
+        ).otherwise(result)
+    if is_union:
+        # cross-axis interval∪interval raises (InvalidShapeError, :342-346)
+        result = F.when(
+            ii & ~same_axis, _err(S.TEXTBLOCK, _AXIS_MSG)
+        ).otherwise(result)
+    return result
+
+
 def intersect(b: Column, other: Column, strict: bool = True) -> Column:
     """Shape intersection (layout_elements.py:299-337 Interval, :659-687
     Rectangle, :1020-1040 Quadrilateral).  Metadata of ``b`` is preserved
     (TextBlock delegation).  strict=True + any Quadrilateral → runtime
-    error, matching the reference raise."""
-    quad_involved = is_quadrilateral(b) | is_quadrilateral(other)
-    if not strict:
-        b2 = to_rectangle(b)
-        o2 = to_rectangle(other)
-        b = F.when(is_quadrilateral(b), b2).otherwise(b)
-        other = F.when(is_quadrilateral(other), o2).otherwise(other)
-
-    # same-axis interval∩interval keeps SELF's canvas (:310-316)
-    ii_same = S.make_block(
-        block_type=INTERVAL,
-        start=F.greatest(b["start"], other["start"]),
-        end=F.least(b["end"], other["end"]),
-        axis=b["axis"],
-        canvas_height=b["canvas_height"],
-        canvas_width=b["canvas_width"],
-    )
-    # cross-axis x∩y → Rectangle(xs.start, ys.start, xs.end, ys.end) (:303-308)
-    ii_cross = F.when(
-        b["axis"] == "x",
-        _rect(b["start"], other["start"], b["end"], other["end"]),
-    ).otherwise(_rect(other["start"], b["start"], other["end"], b["end"]))
-    ii = F.when(b["axis"] == other["axis"], ii_same).otherwise(ii_cross)
-
-    oc = coords4(other)
-    i_r = _interval_x_rect(b, oc, (F.greatest, F.least))
-    bc = coords4(b)
-    # Rectangle.intersect(Interval) delegates to other.intersect(self)
-    # (:662-663) — same formula with roles swapped.
-    r_i = _interval_x_rect(other, bc, (F.greatest, F.least))
-    r_r = _rect(
-        F.greatest(b["x_1"], other["x_1"]),
-        F.greatest(b["y_1"], other["y_1"]),
-        F.least(b["x_2"], other["x_2"]),
-        F.least(b["y_2"], other["y_2"]),
-    )
-
-    geom = (
-        F.when(is_interval(b) & is_interval(other), ii)
-        .when(is_interval(b), i_r)
-        .when(is_interval(other), r_i)
-        .otherwise(r_r)
-    )
-    result = S.with_meta(geom, b)
-    if strict:
-        return F.when(
-            quad_involved, _err(S.TEXTBLOCK, _QUAD_MSG)
-        ).otherwise(result)
-    return result
+    error, matching the reference raise; strict=False downcasts quads to
+    their bounding rectangle."""
+    return _combine(b, other, strict=strict, is_union=False)
 
 
 def union(
@@ -386,58 +473,5 @@ def union(
     ``Rectangle.union(Interval)`` returns ``other.intersect(self)``
     (:692-693) — i.e. the intersection.  ``compat=False`` computes the
     true union.  Cross-axis interval∪interval raises (``InvalidShapeError``,
-    :342-346); strict + Quadrilateral raises as in ``intersect``.
-    """
-    quad_involved = is_quadrilateral(b) | is_quadrilateral(other)
-    b_was_quad = is_quadrilateral(b)
-    if not strict:
-        b2 = to_rectangle(b)
-        o2 = to_rectangle(other)
-        b = F.when(is_quadrilateral(b), b2).otherwise(b)
-        other = F.when(is_quadrilateral(other), o2).otherwise(other)
-
-    ii_same = S.make_block(
-        block_type=INTERVAL,
-        start=F.least(b["start"], other["start"]),
-        end=F.greatest(b["end"], other["end"]),
-        axis=b["axis"],
-        canvas_height=b["canvas_height"],
-        canvas_width=b["canvas_width"],
-    )
-    ii = F.when(b["axis"] == other["axis"], ii_same).otherwise(
-        _err(S.TEXTBLOCK, _AXIS_MSG)
-    )
-
-    oc = coords4(other)
-    i_r = _interval_x_rect(b, oc, (F.least, F.greatest))
-    bc = coords4(b)
-    r_i_true = _interval_x_rect(other, bc, (F.least, F.greatest))
-    if compat:
-        # BUG parity: Rectangle.union(Interval) = other.intersect(self)
-        # (:692-693).  NB the bug lives in Rectangle.union only — a
-        # Quadrilateral downcast via strict=False routes through
-        # Interval.union(Rectangle) (:1049-1053 → :360-371), which is the
-        # TRUE union, so it must not inherit the bug.
-        r_i_bug = _interval_x_rect(other, bc, (F.greatest, F.least))
-        r_i = F.when(b_was_quad, r_i_true).otherwise(r_i_bug)
-    else:
-        r_i = r_i_true
-    r_r = _rect(
-        F.least(b["x_1"], other["x_1"]),
-        F.least(b["y_1"], other["y_1"]),
-        F.greatest(b["x_2"], other["x_2"]),
-        F.greatest(b["y_2"], other["y_2"]),
-    )
-
-    geom = (
-        F.when(is_interval(b) & is_interval(other), ii)
-        .when(is_interval(b), i_r)
-        .when(is_interval(other), r_i)
-        .otherwise(r_r)
-    )
-    result = S.with_meta(geom, b)
-    if strict:
-        return F.when(
-            quad_involved, _err(S.TEXTBLOCK, _QUAD_MSG)
-        ).otherwise(result)
-    return result
+    :342-346); strict + Quadrilateral raises as in ``intersect``."""
+    return _combine(b, other, strict=strict, is_union=True, compat=compat)

@@ -1,0 +1,93 @@
+"""Collection-operator ports of reference tests/test_elements.py::test_layout
+(:394-403 apply functions) against the array-column implementation."""
+
+from pyspark.sql import functions as F
+
+from layout_parser_spark import schema as S
+from layout_parser_spark.operators import layout_ops as L
+from helpers import assert_block, assert_points_close
+
+
+def _layout_df(spark):
+    i = S.interval(4, 5, axis="y")
+    q = S.quadrilateral([2, 2, 6, 2, 6, 7, 2, 5])
+    r = S.rectangle(3, 3, 5, 6)
+    return spark.range(1).select(F.array(i, q, r).alias("blocks"))
+
+
+def test_filter_by(spark):
+    """l.filter_by(t) == Layout([i]) where t wraps Interval(4,5,'y')
+    (test_elements.py:399)."""
+    df = _layout_df(spark)
+    region = S.interval(4, 5, axis="y")
+    out = df.select(L.filter_by(F.col("blocks"), region).alias("kept"))
+    kept = out.collect()[0].kept
+    assert len(kept) == 1
+    assert_block(kept[0], "interval", start=4, end=5, axis="y")
+
+
+def test_homogenize_to_max_type(spark):
+    """get_homogeneous_blocks == [i.to_quadrilateral(), q,
+    r.to_quadrilateral()] (test_elements.py:403)."""
+    df = _layout_df(spark)
+    out = df.select(L.homogenize(F.col("blocks")).alias("h")).collect()[0].h
+    assert [b.block_type for b in out] == ["quadrilateral"] * 3
+    # interval promoted via its canvas coords (canvas 0 → degenerate band)
+    assert_points_close(out[1], [2, 2, 6, 2, 6, 7, 2, 5])
+    assert_points_close(out[2], [3, 3, 5, 3, 5, 6, 3, 6])
+
+    # all-interval layout stays interval; interval+rect homogenizes to rect
+    df2 = spark.range(1).select(
+        F.array(
+            S.interval(1, 2, "x"), S.rectangle(0, 0, 1, 1)
+        ).alias("blocks")
+    )
+    out2 = df2.select(L.homogenize(F.col("blocks")).alias("h")).collect()[0].h
+    assert [b.block_type for b in out2] == ["rectangle", "rectangle"]
+
+
+def test_map_sort_texts_info(spark):
+    blocks = F.array(
+        S.rectangle(0, 10, 1, 11, text="low", id=1),
+        S.rectangle(0, 0, 1, 1, text="high", id=2),
+        S.rectangle(0, 5, 1, 6, id=3),  # no text
+    )
+    df = spark.range(1).select(blocks.alias("blocks"))
+    row = df.select(
+        L.sort_blocks(F.col("blocks"), key=lambda b: b["y_1"]).alias("s"),
+        L.sort_blocks(
+            F.col("blocks"), key=lambda b: b["y_1"], reverse=True
+        ).alias("sr"),
+        L.get_texts(F.col("blocks")).alias("texts"),
+        L.get_info(F.col("blocks"), "id").alias("ids"),
+        L.shift_blocks(F.col("blocks"), 1, 2).alias("sh"),
+        L.slice_blocks(F.col("blocks"), 1, 2).alias("sl"),
+        L.concat_layouts(F.col("blocks"), F.col("blocks")).alias("cc"),
+    ).collect()[0]
+    assert [b.text for b in row.s] == ["high", None, "low"]
+    assert [b.text for b in row.sr] == ["low", None, "high"]
+    assert row.texts == ["low", "high"]
+    assert row.ids == [1, 2, 3]
+    assert row.sh[0].x_1 == 1.0 and row.sh[0].y_1 == 12.0
+    assert [b.id for b in row.sl] == [2, 3]
+    assert len(row.cc) == 6
+
+
+def test_is_in_blocks_matches_reference_layout_case(spark):
+    """l.is_in(r) == [block.is_in(r) for block in [i,q,r]]
+    (test_elements.py:402)."""
+    df = _layout_df(spark)
+    r = S.rectangle(3, 3, 5, 6)
+    out = df.select(L.is_in_blocks(F.col("blocks"), r).alias("m")).collect()[0].m
+    # i(4..5 on y) within r's y-band 3..6 → True; q not in r; r in itself
+    assert out == [True, False, True]
+
+
+def test_explode_blocks(spark):
+    df = _layout_df(spark).withColumn("doc_id", F.lit(7))
+    ex = L.explode_blocks(df)
+    rows = ex.collect()
+    assert [r.block_pos for r in rows] == [0, 1, 2]
+    assert {r["block"]["block_type"] for r in rows} == {
+        "interval", "quadrilateral", "rectangle"
+    }
