@@ -101,6 +101,33 @@ def gather_data(
     )
 
 
+def gather_text_annotations(
+    tokens: DataFrame,
+    doc_cols: Sequence[str],
+    *,
+    vertices="vertices",
+    text="text",
+    pos="pos",
+) -> DataFrame:
+    """GCV ``gather_text_annotations`` (ocr/gcv_agent.py:181-203): one
+    Quadrilateral TextBlock per token annotation — points straight from the
+    4 vertices, id = enumeration order (per document, by ``pos``).
+
+    ``vertices`` is an array<double> of 8 (flat clockwise), matching the
+    protobuf vertex order."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from ..schema import QUADRILATERAL, make_block
+
+    w = Window.partitionBy(*doc_cols).orderBy(pos)
+    blk = make_block(
+        block_type=QUADRILATERAL,
+        points=F.col(vertices),
+        text=F.col(text),
+        id=F.row_number().over(w) - 1,
+    )
+    return tokens.select(*doc_cols, blk.alias("block"))
+
+
 def gather_full_text(
     symbols: DataFrame,
     doc_cols: Sequence[str],

@@ -35,7 +35,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .reading_order import xy_cut_texts
+from .reading_order import reading_order_columnar, xy_cut_texts
 from .segment import BOILERPLATE_TYPES, segment_pages
 
 LINK_DENSITY_MAX = 0.5
@@ -87,18 +87,39 @@ def drop_boilerplate(df: DataFrame) -> DataFrame:
     return df.withColumn("main_blocks", main)
 
 
-def assemble_text(df: DataFrame, blocks_col: str = "main_blocks") -> DataFrame:
-    """XY-cut order + space-join text assembly."""
-    ordered_texts = xy_cut_texts(F.col(blocks_col))
-    return df.withColumn(
-        "extracted_text", F.concat_ws(" ", ordered_texts)
-    ).withColumn("n_blocks", F.size(F.col(blocks_col)))
+def assemble_text(
+    df: DataFrame,
+    blocks_col: str = "main_blocks",
+    reading_order: str = "xy_cut",
+) -> DataFrame:
+    """Reading order + space-join text assembly.
+
+    reading_order='xy_cut' (default): the generalized recursive XY-cut
+    (Arrow UDF).  'columnar': the documented 2-column recipe as pure
+    expressions (SURVEY §2.10) — zero Python, for pipelines known to be
+    ≤2-column; equivalent on such layouts (pinned by test)."""
+    if reading_order == "columnar":
+        ordered = reading_order_columnar(
+            F.col(blocks_col), F.col("page_data.width")
+        )
+        texts = F.filter(
+            F.transform(ordered, lambda b: b["text"]),
+            lambda t: t.isNotNull() & (t != ""),
+        )
+        out = df.withColumn("extracted_text", F.concat_ws(" ", texts))
+    else:
+        ordered_texts = xy_cut_texts(F.col(blocks_col))
+        out = df.withColumn(
+            "extracted_text", F.concat_ws(" ", ordered_texts)
+        )
+    return out.withColumn("n_blocks", F.size(F.col(blocks_col)))
 
 
 def extract_main_text(
     pages: DataFrame,
     salt_partitions: Optional[int] = None,
     salt_round: int = 0,
+    reading_order: str = "xy_cut",
 ) -> DataFrame:
     """pages(url, warc_ts, html, …) → (url, …, extracted_text, n_blocks).
 
@@ -119,5 +140,5 @@ def extract_main_text(
         )
     df = segment_pages(df)
     df = drop_boilerplate(df)
-    df = assemble_text(df)
+    df = assemble_text(df, reading_order=reading_order)
     return df

@@ -122,3 +122,30 @@ def test_specialized_fig_predicate_equals_is_in(ev):
     d = row.asDict()
     for i in range(len(cases)):
         assert d[f"g{i}"] == d[f"s{i}"], (i, d)
+
+
+def test_columnar_reading_order_equivalent(spark):
+    """The pure-expression 2-column recipe must agree with the XY-cut UDF
+    on the synthetic (≤2-column) corpus — both byte-identical to source."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    pages = synth_pages(docs)
+    out = extract_main_text(pages, reading_order="columnar").select(
+        "doc_id", "text", "extracted_text"
+    )
+    rows = out.collect()
+    assert all(r.extracted_text == r.text for r in rows)
+
+
+def test_lang_filter_pushed_to_scan(spark, tmp_path):
+    """A native Column filter placed before the UDF stage must reach the
+    parquet scan as a pushed filter (no html decode for skipped rows)."""
+    import re
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    src = str(tmp_path / "pages")
+    synth_pages(docs).write.parquet(src)
+    pages = spark.read.parquet(src).where(F.col("lang") == "en")
+    plan = extract_main_text(pages)._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("Scan parquet"):]
+    assert re.search(r"PushedFilters: \[.*(EqualTo\(lang,en\)|lang).*\]", scan), scan[:500]

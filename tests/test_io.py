@@ -183,3 +183,26 @@ def test_model_config_registry(spark):
     backend = auto_layout_model("lp://dom/web/heuristic/config")
     out = backend(pages)
     assert out.select(F.size("blocks")).collect()[0][0] > 0
+
+
+def test_gcv_text_annotations(spark):
+    """gather_text_annotations: quad per token, id by enumeration order
+    (gcv_agent.py:181-203)."""
+    from layout_parser_spark.operators.ocr_agg import gather_text_annotations
+
+    rows = [
+        (1, 20, [4.0, 4.0, 6.0, 4.0, 6.0, 6.0, 4.0, 6.0], "world"),
+        (1, 10, [0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0], "hello"),
+        (2, 5, [1.0, 1.0, 3.0, 1.0, 3.0, 3.0, 1.0, 3.0], "solo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc long, pos long, vertices array<double>, text string"
+    )
+    out = gather_text_annotations(df, ["doc"])
+    got = sorted(
+        [(r.doc, r.block["id"], r.block["text"]) for r in out.collect()]
+    )
+    assert got == [(1, 0, "hello"), (1, 1, "world"), (2, 0, "solo")]
+    blk = [r.block for r in out.collect() if r.block["text"] == "hello"][0]
+    assert blk["block_type"] == "quadrilateral"
+    assert list(blk["points"]) == [0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0]

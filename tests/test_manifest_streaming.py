@@ -122,3 +122,29 @@ def test_streaming_windowed_stats(spark, pages, tmp_path):
     got = spark.sql("select * from winstats").collect()
     assert sum(r.n_docs for r in got) == 80
     assert all(r.text_bytes > 0 for r in got)
+
+
+def test_stateful_host_stats(spark, pages, tmp_path):
+    """applyInPandasWithState custom stateful op: per-host running stats."""
+    from layout_parser_spark.streaming import extract_stream
+    from layout_parser_spark.streaming.stateful import host_session_stats
+
+    src = str(tmp_path / "pages3")
+    pages.write.parquet(src)
+    stream = extract_stream(spark, src, max_files_per_trigger=100)
+    stats = host_session_stats(stream)
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("hoststats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select host, max(docs) as docs, max(text_bytes) as tb "
+        "from hoststats group by host"
+    ).collect()
+    assert sum(r.docs for r in got) == 80
+    assert all(r.tb > 0 for r in got)
+    assert all(r.host.startswith("site") for r in got)
