@@ -159,17 +159,20 @@ def scaling_child(cores: int):
     # two full warm-up passes: python workers + JIT + page cache
     run_extraction(spark, pages_dir)
     run_extraction(spark, pages_dir)
-    best = None
-    for _ in range(3):
+    runs = []
+    for _ in range(4):
         dt, n, b = run_extraction(spark, pages_dir)
-        tput = n / dt
-        best = max(best or 0.0, tput)
-    print(json.dumps({"cores": cores, "docs_per_sec": round(best, 2)}))
+        runs.append(round(n / dt, 2))
+    # best-of-N: the sandbox VM sees noisy-neighbor CPU steal; the best
+    # run is the least-contended estimate of the job's own throughput
+    print(json.dumps({"cores": cores, "docs_per_sec": max(runs), "runs": runs}))
 
 
 def scaling_main():
     out = {}
+    all_runs = {}
     for cores in (8, 32):
+        time.sleep(10)  # let previous JVMs/page-cache churn settle
         proc = subprocess.run(
             [sys.executable, __file__, "--scaling-child", str(cores)],
             capture_output=True,
@@ -179,19 +182,21 @@ def scaling_main():
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
         rec = json.loads(line)
         out[rec["cores"]] = rec["docs_per_sec"]
+        all_runs[rec["cores"]] = rec.get("runs", [])
     eff = out[32] / (4 * out[8])
     md = f"""# BENCH — throughput scaling evidence (north_rule)
 
 Flagship extraction job (segment → boilerplate drop → XY-cut → text
 assembly) over the same pre-materialized synthetic pages parquet
-({PAGES_DIR}), identical input at both parallelism levels; best of 2 timed
-runs after warm-up.  local[8] vs local[32] is the sandbox stand-in for
-N vs 4N executors.
+({PAGES_DIR}), identical input at both parallelism levels; 2 warm-up
+passes then best of 4 timed runs (the sandbox VM shows noisy-neighbor CPU
+steal, so best-of-N estimates the job's own throughput).  local[8] vs
+local[32] is the sandbox stand-in for N vs 4N executors.
 
-| parallelism | docs/sec |
-|---|---|
-| local[8]  (N)  | {out[8]:.2f} |
-| local[32] (4N) | {out[32]:.2f} |
+| parallelism | docs/sec (best) | all runs |
+|---|---|---|
+| local[8]  (N)  | {out[8]:.2f} | {all_runs.get(8)} |
+| local[32] (4N) | {out[32]:.2f} | {all_runs.get(32)} |
 
 **scaling efficiency = tput(4N) / (4 × tput(N)) = {eff:.3f}**
 (north_rule target ≥ 0.8)

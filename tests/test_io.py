@@ -206,3 +206,18 @@ def test_gcv_text_annotations(spark):
     blk = [r.block for r in out.collect() if r.block["text"] == "hello"][0]
     assert blk["block_type"] == "quadrilateral"
     assert list(blk["points"]) == [0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0]
+
+
+def test_viz_svg_sample(spark):
+    from layout_parser_spark.plans.segment import segment_pages
+    from layout_parser_spark.sources import render_page_html
+    from layout_parser_spark.viz import draw_sample
+
+    pages = spark.createDataFrame(
+        [("u", render_page_html(5, " ".join(f"w{i}" for i in range(30))).encode())],
+        "url string, html binary",
+    )
+    svgs = draw_sample(segment_pages(pages), n=1)
+    assert len(svgs) == 1
+    assert svgs[0].startswith("<svg") and "rect" in svgs[0]
+    assert "Figure" in svgs[0] and "Nav" in svgs[0]
