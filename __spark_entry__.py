@@ -869,6 +869,77 @@ def _queries_df(spark, sf: str):
     return v, q
 
 
+def q_dedup_embedding_cosine(spark, sf: str) -> DataFrame:
+    from layout_parser_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.3, block_col="label"
+    )
+
+
+SQL_EMB_DEDUP = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+"""
+
+
+def q_corpus_filter_pipeline(spark, sf: str) -> DataFrame:
+    """End-to-end training-data filter composition: quality gate + lang-ID
+    gate + exact dedup, then per-source corpus stats — the canonical
+    pre-training corpus funnel as one declarative plan."""
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "text",
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("pl"),
+        token_count(F.col("text")).cast("long").alias("nt"),
+    )
+    kept = scored.where((F.col("q") >= 0.8) & (F.col("pl") != "und"))
+    # exact dedup: keep the min doc_id per text digest
+    w = Window.partitionBy(F.md5(F.encode(F.col("text"), "utf-8"))).orderBy(
+        "doc_id"
+    )
+    dedup = kept.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    return dedup.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+    )
+
+
+def _sql_corpus_pipeline() -> str:
+    return f"""
+WITH qual AS ({SQL_QUALITY}),
+     lng AS ({{LANG}}),
+     kept AS (
+       SELECT d.doc_id, d.source, d.text, qual.quality,
+              len(string_split(d.text, ' ')) AS nt
+       FROM documents d
+       JOIN qual ON qual.doc_id = d.doc_id
+       JOIN lng ON lng.doc_id = d.doc_id
+       WHERE qual.quality >= 0.8 AND lng.pred_lang != 'und'
+     ),
+     dd AS (
+       SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS rn
+       FROM kept
+     )
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       ROUND(AVG(quality), 6) AS avg_quality
+FROM dd WHERE rn = 1 GROUP BY source
+""".replace("{LANG}", _sql_lang_id())
+
+
 def q_ann_cosine_topk(spark, sf: str) -> DataFrame:
     v, q = _queries_df(spark, sf)
     out = cosine_topk(v, q, k=5)
@@ -951,6 +1022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_fingerprint": q_docs_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "corpus_filter_pipeline": q_corpus_filter_pipeline,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -981,6 +1054,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality": SQL_QUALITY,
         "docs_fingerprint": SQL_FINGERPRINT,
         "multimodal_meta": SQL_MULTIMODAL,
+        "dedup_embedding_cosine": SQL_EMB_DEDUP,
+        "corpus_filter_pipeline": _sql_corpus_pipeline(),
         "ann_cosine_topk": SQL_ANN,
         "ann_ivf": SQL_ANN_IVF,
         # minhash_lsh / simhash_buckets / ann_lsh: xxhash64-based — no ANSI

@@ -267,6 +267,46 @@ def simhash64(text: Column) -> Column:
     return simhash_from_hashes(hashes, F.size(toks))
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a,b) with
+    cos(v_a, v_b) ≥ threshold, optionally blocked by a grouping column
+    (label/host) to bound the pair space.
+
+    Small/medium corpora: blocked self-join with columnar cosine (below).
+    At 10^12 scale, candidates come from ``similarity.lsh_topk``-style
+    signature buckets instead of the blocked join; the scoring expression
+    is shared."""
+    from .similarity import cosine
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+        pairs = a.join(b, on="blk").where(F.col("a.id") < F.col("b.id"))
+    else:
+        pairs = a.join(b, cond)
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def simhash_buckets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
