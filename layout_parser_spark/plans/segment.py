@@ -162,10 +162,91 @@ def segment_html(html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"page_data": pages, "blocks": blocks})
 
 
+import re as _re
+
+_TAG_RE = _re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)([^>]*)>")
+_BOX_RE = _re.compile(r'data-box="([^"]+)"')
+_W_RE = _re.compile(r'data-w="([^"]+)"')
+_H_RE = _re.compile(r'data-h="([^"]+)"')
+_STRUCTURAL = frozenset(
+    (
+        "p", "div", "header", "footer", "nav", "aside", "figure",
+        "h1", "h2", "h3", "table", "ul", "li", "span",
+    )
+)
+
+
+class _FastParser:
+    """Hand-rolled tag tokenizer with the exact event semantics the
+    segmentation relies on (same push/pop/text/anchor accounting as
+    ``_SegmentParser``), ~4× faster than html.parser on these pages.
+    Entities in text are unescaped lazily (only when '&' present).
+    Parity with the HTMLParser path is pinned by
+    tests/test_extract.py (engine == independent HTMLParser oracle)."""
+
+    __slots__ = ("page_w", "page_h", "blocks", "_stack", "_a_depth")
+
+    def __init__(self):
+        self.page_w = None
+        self.page_h = None
+        self.blocks = []
+        self._stack = []
+        self._a_depth = 0
+
+    def _endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._a_depth = max(0, self._a_depth - 1)
+        elif self._stack and tag in _STRUCTURAL:
+            self._stack.pop()
+
+    def feed(self, html: str) -> None:
+        from html import unescape
+
+        if "<!--" in html:  # comments are not tags; drop them up front
+            html = _re.sub(r"<!--.*?-->", "", html, flags=_re.S)
+        pos = 0
+        for m in _TAG_RE.finditer(html):
+            if m.start() > pos:
+                text = html[pos : m.start()]
+                if self._stack and text:
+                    if "&" in text:
+                        text = unescape(text)
+                    blk = self.blocks[self._stack[-1]]
+                    blk.chunks.append(text)
+                    if self._a_depth > 0:
+                        blk.link_chars += len(text)
+            pos = m.end()
+            closing, tag, attrs = m.group(1), m.group(2).lower(), m.group(3)
+            if closing:
+                self._endtag(tag)
+                continue
+            if tag == "html":
+                w = _W_RE.search(attrs)
+                h = _H_RE.search(attrs)
+                self.page_w = float(w.group(1)) if w else 0.0
+                self.page_h = float(h.group(1)) if h else 0.0
+                continue
+            if tag == "a":
+                self._a_depth += 1
+            box = _BOX_RE.search(attrs)
+            if box is not None:
+                coords = tuple(float(v) for v in box.group(1).split(","))
+                parent = self._stack[-1] if self._stack else None
+                blk = _Block(
+                    coords, TAG_TYPE.get(tag, "Text"), parent, len(self.blocks)
+                )
+                self.blocks.append(blk)
+                self._stack.append(blk.order)
+            # self-closing: HTMLParser fires starttag then endtag
+            if attrs.rstrip().endswith("/"):
+                self._endtag(tag)
+
+
 def parse_page_arrays(html: str):
     """Parse one page → (page_w, page_h, column lists).  The flat-array
-    twin of ``parse_page`` used by the hot path (see ``segment_pages``)."""
-    p = _SegmentParser()
+    twin of ``parse_page`` used by the hot path (see ``segment_pages``),
+    on the fast tokenizer."""
+    p = _FastParser()
     p.feed(html)
     x1, y1, x2, y2 = [], [], [], []
     texts, types, parents, scores = [], [], [], []
