@@ -115,6 +115,90 @@ def assemble_text(
     return out.withColumn("n_blocks", F.size(F.col(blocks_col)))
 
 
+def _extract_lean(df: DataFrame, reading_order: str) -> DataFrame:
+    """Hot-path extraction over the FLAT segmentation arrays — identical
+    semantics to the struct path (pinned by the byte-identity tests), but
+    the per-block structs are 8 fields zipped once instead of 19-field
+    TEXTBLOCKs with null casts; the struct API path (`drop_boilerplate` on
+    `blocks`) remains the public surface for layout processing."""
+    from .reading_order import xy_cut_joined
+
+    z = F.arrays_zip(
+        F.col("_bx1").alias("x1"),
+        F.col("_by1").alias("y1"),
+        F.col("_bx2").alias("x2"),
+        F.col("_by2").alias("y2"),
+        F.col("_btext").alias("text"),
+        F.col("_btype").alias("type"),
+        F.col("_bscore").alias("score"),
+    )
+    df = df.withColumn("_z", z)
+    figs = F.filter(F.col("_z"), lambda r: r["type"] == "Figure")
+    df = df.withColumn("_figs", figs)
+    page_w, page_h = F.col("page_w"), F.col("page_h")
+
+    def keep(r):
+        typed_ok = ~r["type"].isin(*BOILERPLATE_TYPES, "Figure")
+        link_ok = r["score"] >= (1.0 - LINK_DENSITY_MAX)
+        w = r["x2"] - r["x1"]
+        is_band = (w >= BAND_WIDTH_FRAC * page_w) & (
+            (r["y2"] <= BAND_FRAC * page_h)
+            | (r["y1"] >= (1 - BAND_FRAC) * page_h)
+        )
+        cx = (r["x1"] + r["x2"]) / 2.0
+        cy = (r["y1"] + r["y2"]) / 2.0
+        in_fig = F.exists(
+            F.col("_figs"),
+            lambda f: (f["x1"] <= cx)
+            & (cx <= f["x2"])
+            & (f["y1"] <= cy)
+            & (cy <= f["y2"]),
+        )
+        return typed_ok & link_ok & ~is_band & ~in_fig
+
+    df = df.withColumn("_main", F.filter(F.col("_z"), keep))
+    if reading_order == "columnar":
+        half = page_w / 2.0 * 1.05
+
+        def cmp(a, b):
+            ka = F.struct(
+                ((a["x1"] + a["x2"]) / 2.0 > half).cast("int").alias("c"),
+                a["y1"].alias("y"),
+                a["x1"].alias("x"),
+            )
+            kb = F.struct(
+                ((b["x1"] + b["x2"]) / 2.0 > half).cast("int").alias("c"),
+                b["y1"].alias("y"),
+                b["x1"].alias("x"),
+            )
+            return F.when(ka < kb, -1).when(ka > kb, 1).otherwise(0)
+
+        ordered = F.array_sort(F.col("_main"), cmp)
+        texts = F.filter(
+            F.transform(ordered, lambda r: r["text"]),
+            lambda t: t.isNotNull() & (t != ""),
+        )
+        df = df.withColumn("extracted_text", F.concat_ws(" ", texts))
+    else:
+        df = df.withColumn(
+            "extracted_text",
+            xy_cut_joined(
+                F.transform(F.col("_main"), lambda r: r["x1"]),
+                F.transform(F.col("_main"), lambda r: r["y1"]),
+                F.transform(F.col("_main"), lambda r: r["x2"]),
+                F.transform(F.col("_main"), lambda r: r["y2"]),
+                F.transform(F.col("_main"), lambda r: r["text"]),
+            ),
+        )
+    df = df.withColumn("n_blocks", F.size("_main"))
+    from .segment import _ARRAY_COLS
+
+    return df.drop(
+        "_z", "_figs", "_main", "page_w", "page_h",
+        *[n for n, _ in _ARRAY_COLS],
+    )
+
+
 def extract_main_text(
     pages: DataFrame,
     salt_partitions: Optional[int] = None,
@@ -138,7 +222,7 @@ def extract_main_text(
                 F.lit(salt_partitions),
             ),
         )
-    df = segment_pages(df)
-    df = drop_boilerplate(df)
-    df = assemble_text(df, reading_order=reading_order)
-    return df
+    from .segment import segment_pages_arrays
+
+    df = segment_pages_arrays(df)
+    return _extract_lean(df, reading_order)

@@ -154,6 +154,47 @@ def xy_cut_texts(blocks: Column) -> Column:
     )
 
 
+def _make_joined_udf():
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def xy_cut_joined_udf(
+        xs1: pd.Series,
+        ys1: pd.Series,
+        xs2: pd.Series,
+        ys2: pd.Series,
+        texts: pd.Series,
+    ) -> pd.Series:
+        res = []
+        for a, b, c, d, t in zip(xs1, ys1, xs2, ys2, texts):
+            if a is None or len(a) == 0:
+                res.append("")
+                continue
+            order = xy_cut_indices(
+                np.asarray(a, dtype="float64"),
+                np.asarray(b, dtype="float64"),
+                np.asarray(c, dtype="float64"),
+                np.asarray(d, dtype="float64"),
+            )
+            res.append(" ".join(t[i] for i in order if t[i]))
+        return pd.Series(res)
+
+    return xy_cut_joined_udf
+
+
+_joined_udf = None
+
+
+def xy_cut_joined(xs1, ys1, xs2, ys2, texts) -> Column:
+    """XY-cut order + ' '-join fused in one UDF returning the final
+    string (the extraction hot path — one scalar out instead of an
+    array)."""
+    global _joined_udf
+    if _joined_udf is None:
+        _joined_udf = _make_joined_udf()
+    return _joined_udf(xs1, ys1, xs2, ys2, texts)
+
+
 def _make_blocks_udf():
     from ..schema import TEXTBLOCK
 
