@@ -260,12 +260,12 @@ WITH blocks AS (
          (3, 50.0, 50.0, 4000.0, 200.0)
 )
 SELECT region_id,
-       SUM(CASE WHEN rx1 <= x1 AND x1 <= x2 AND x2 <= rx2
+       CAST(SUM(CASE WHEN rx1 <= x1 AND x1 <= x2 AND x2 <= rx2
                  AND ry1 <= y1 AND y1 <= y2 AND y2 <= ry2
-                THEN 1 ELSE 0 END) AS n_inside,
-       SUM(CASE WHEN rx1 <= (x1+x2)/2.0 AND (x1+x2)/2.0 <= rx2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+       CAST(SUM(CASE WHEN rx1 <= (x1+x2)/2.0 AND (x1+x2)/2.0 <= rx2
                  AND ry1 <= (y1+y2)/2.0 AND (y1+y2)/2.0 <= ry2
-                THEN 1 ELSE 0 END) AS n_center_inside
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_center_inside
 FROM blocks CROSS JOIN regions
 GROUP BY region_id
 """
@@ -434,7 +434,12 @@ def q_ocr_gather_data(spark, sf: str) -> DataFrame:
         F.col("event_type").alias("text"),
         F.col("event_id").alias("pos"),
     )
-    out = gather_data(ev, ["page_num", "block_num"])
+    # ids are assigned per page (reference assigns per image,
+    # ocr/tesseract_agent.py:160-162) so the row_number window is
+    # partitioned — never a single-task global sort
+    out = gather_data(
+        ev, ["page_num", "block_num"], id_partition_cols=["page_num"]
+    )
     return out.select(
         "page_num",
         "block_num",
@@ -464,7 +469,8 @@ WITH tok AS (
   FROM tok GROUP BY page_num, block_num
 )
 SELECT page_num, block_num,
-       CAST(ROW_NUMBER() OVER (ORDER BY page_num, block_num) - 1 AS BIGINT) AS id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY page_num ORDER BY block_num) - 1
+            AS BIGINT) AS id,
        ROUND(x_1, 6) AS x_1, ROUND(y_1, 6) AS y_1,
        ROUND(x_1 + mw, 6) AS x_2, ROUND(y_1 + mh, 6) AS y_2,
        ROUND(score, 4) AS score, text,

@@ -112,6 +112,11 @@ def _padded_parts(other: Column, soft_margin: Optional[dict]):
     zero = F.lit(0.0)
     padded = bool(sm)
 
+    # the reference's is_in always calls other.pad(**soft_margin) with
+    # safe_mode=True (layout_elements.py:271/623/984), so the clamp-at-0
+    # applies even for an EMPTY margin — negative coordinates (natural
+    # after relative_to) are clamped unconditionally
+
     # interval: pad along own axis, clamp start at 0
     i_start = F.when(other["axis"] == "x", other["start"] - left).otherwise(
         other["start"] - top
@@ -119,16 +124,15 @@ def _padded_parts(other: Column, soft_margin: Optional[dict]):
     i_end = F.when(other["axis"] == "x", other["end"] + right).otherwise(
         other["end"] + bottom
     )
-    if padded:
-        i_start = F.greatest(zero, i_start)
+    i_start = F.greatest(zero, i_start)
 
     # rectangle: clamp x_1,y_1 at 0
     r_x1, r_y1 = other["x_1"] - left, other["y_1"] - top
-    if padded:
-        r_x1, r_y1 = F.greatest(zero, r_x1), F.greatest(zero, r_y1)
+    r_x1, r_y1 = F.greatest(zero, r_x1), F.greatest(zero, r_y1)
     r_x2, r_y2 = other["x_2"] + right, other["y_2"] + bottom
 
-    # quadrilateral: rank-order padded points
+    # quadrilateral: rank-order padded points (rank math skipped for an
+    # empty margin — the clamp alone is equivalent when all pads are 0)
     qxs = [F.element_at(other["points"], 2 * i + 1) for i in range(4)]
     qys = [F.element_at(other["points"], 2 * i + 2) for i in range(4)]
     if padded:
@@ -141,7 +145,8 @@ def _padded_parts(other: Column, soft_margin: Optional[dict]):
             pxs.append(F.greatest(zero, nx))
             pys.append(F.greatest(zero, ny))
     else:
-        pxs, pys = qxs, qys
+        pxs = [F.greatest(zero, x) for x in qxs]
+        pys = [F.greatest(zero, y) for y in qys]
 
     # promoted bbox coordinates of the padded other
     ii_x1 = F.when(other["axis"] == "x", i_start).otherwise(zero)

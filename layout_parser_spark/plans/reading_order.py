@@ -61,25 +61,33 @@ def xy_cut_indices(
         groups.append(np.array(cur))
         return groups if len(groups) > 1 else None
 
-    def rec(ids: np.ndarray, try_x_first: bool):
-        if len(ids) == 1:
-            out.append(int(ids[0]))
-            return
-        axes = ((x1, x2), (y1, y2)) if try_x_first else ((y1, y2), (x1, x2))
-        for ax_i, (lo, hi) in enumerate(axes):
-            groups = split(ids, lo, hi)
-            if groups is not None:
-                cut_was_x = (lo is x1)
-                for g in groups:
-                    # after a vertical cut recurse horizontally and v.v.
-                    rec(g, not cut_was_x)
-                return
-        # no gap on either axis: stable sort by (y1, x1)
-        order = ids[np.lexsort((x1[ids], y1[ids]))]
-        out.extend(int(i) for i in order)
-
+    # explicit work stack (not recursion): a pathological page with deeply
+    # nested alternating x/y gap structure would otherwise hit Python's
+    # recursion limit inside the hot extraction UDF and fail the Spark task
     if n:
-        rec(np.arange(n), True)
+        stack = [(np.arange(n), True)]
+        while stack:
+            ids, try_x_first = stack.pop()
+            if len(ids) == 1:
+                out.append(int(ids[0]))
+                continue
+            axes = (
+                ((x1, x2), (y1, y2)) if try_x_first else ((y1, y2), (x1, x2))
+            )
+            for lo, hi in axes:
+                groups = split(ids, lo, hi)
+                if groups is not None:
+                    cut_was_x = lo is x1
+                    # LIFO stack: push groups reversed so they are visited
+                    # in ascending coordinate order; after a vertical cut
+                    # recurse horizontally and v.v.
+                    for g in reversed(groups):
+                        stack.append((g, not cut_was_x))
+                    break
+            else:
+                # no gap on either axis: stable sort by (y1, x1)
+                order = ids[np.lexsort((x1[ids], y1[ids]))]
+                out.extend(int(i) for i in order)
     return out
 
 

@@ -164,10 +164,26 @@ def segment_html(html: pd.Series) -> pd.DataFrame:
 
 import re as _re
 
-_TAG_RE = _re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)([^>]*)>")
-_BOX_RE = _re.compile(r'data-box="([^"]+)"')
-_W_RE = _re.compile(r'data-w="([^"]+)"')
-_H_RE = _re.compile(r'data-h="([^"]+)"')
+# attribute body may contain '>' inside quoted values (legal HTML, and
+# html.parser handles it) — the tokenizer skips quoted runs instead of
+# cutting the tag at the first '>'
+_TAG_RE = _re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"
+)
+
+
+def _attr_re(name: str):
+    # double-quoted, single-quoted, or unquoted attribute value
+    return _re.compile(name + r"""=(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""")
+
+
+_BOX_RE = _attr_re("data-box")
+_W_RE = _attr_re("data-w")
+_H_RE = _attr_re("data-h")
+
+
+def _attr_val(m) -> str:
+    return next(g for g in m.groups() if g is not None)
 _STRUCTURAL = frozenset(
     (
         "p", "div", "header", "footer", "nav", "aside", "figure",
@@ -223,14 +239,14 @@ class _FastParser:
             if tag == "html":
                 w = _W_RE.search(attrs)
                 h = _H_RE.search(attrs)
-                self.page_w = float(w.group(1)) if w else 0.0
-                self.page_h = float(h.group(1)) if h else 0.0
+                self.page_w = float(_attr_val(w)) if w else 0.0
+                self.page_h = float(_attr_val(h)) if h else 0.0
                 continue
             if tag == "a":
                 self._a_depth += 1
             box = _BOX_RE.search(attrs)
             if box is not None:
-                coords = tuple(float(v) for v in box.group(1).split(","))
+                coords = tuple(float(v) for v in _attr_val(box).split(","))
                 parent = self._stack[-1] if self._stack else None
                 blk = _Block(
                     coords, TAG_TYPE.get(tag, "Text"), parent, len(self.blocks)
@@ -350,7 +366,7 @@ def attach_blocks(df) -> "DataFrame":
     idx = F.sequence(
         F.lit(0), F.greatest(F.size(F.col("_bx1")) - 1, F.lit(0))
     )
-    blocks = F.zip_with(
+    zipped = F.zip_with(
         z,
         idx,
         lambda r, i: S.make_block(
@@ -365,6 +381,15 @@ def attach_blocks(df) -> "DataFrame":
             score=r["score"],
             id=i,
         ),
+    )
+    # zero-block pages: sequence(0, greatest(-1, 0)) above still yields [0]
+    # and zip_with null-pads — guard so an empty page maps to an empty
+    # Layout (reference returns Layout([]) for block-less pages), not one
+    # phantom all-NULL block
+    from pyspark.sql.types import ArrayType
+
+    blocks = F.when(F.size(F.col("_bx1")) > 0, zipped).otherwise(
+        F.array().cast(ArrayType(S.TEXTBLOCK))
     )
     page_data = F.struct(
         F.col("page_w").alias("width"),

@@ -136,6 +136,57 @@ def test_columnar_reading_order_equivalent(spark):
     assert all(r.extracted_text == r.text for r in rows)
 
 
+def test_zero_block_page_yields_empty_layout(spark):
+    """A page with no data-box elements must produce an EMPTY blocks array
+    (reference returns Layout([])), not one phantom all-NULL block."""
+    from layout_parser_spark.plans.segment import segment_pages
+
+    pages = spark.createDataFrame(
+        [
+            (0, '<html data-w="800" data-h="600"><body></body></html>'),
+            (1, '<html data-w="800" data-h="600">'
+                '<p data-box="10,10,100,30">hello world</p></html>'),
+        ],
+        "doc_id long, html string",
+    )
+    rows = {r.doc_id: r for r in segment_pages(pages).collect()}
+    assert rows[0].blocks == []
+    assert len(rows[1].blocks) == 1
+    assert rows[1].blocks[0].text == "hello world"
+
+
+def test_fast_parser_quoted_gt_in_attribute():
+    """Attribute values containing '>' (legal in quoted HTML) must not cut
+    the tag short or leak attribute text into block content."""
+    html = (
+        '<html data-w="800" data-h="600">'
+        '<p data-alt="a > b" data-box="10,10,100,30">clean text</p>'
+        "<p data-box='20,40,120,60' data-note='x>y'>second</p></html>"
+    )
+    w, h, (x1, y1, x2, y2, texts, types, parents, scores) = (
+        __import__(
+            "layout_parser_spark.plans.segment", fromlist=["parse_page_arrays"]
+        ).parse_page_arrays(html)
+    )
+    assert w == 800.0 and h == 600.0
+    assert texts == ["clean text", "second"]
+    assert (x1, y2) == ([10.0, 20.0], [30.0, 60.0])
+
+
+def test_xy_cut_deep_nesting_no_recursion_error():
+    """Deeply nested alternating x/y gap structure must not blow the
+    Python recursion limit (explicit work stack)."""
+    import numpy as np
+
+    n = 5000
+    # staircase: each block strictly right of and below the previous with
+    # gaps on both axes → alternating cuts, depth ~ n
+    base = np.arange(n, dtype="float64") * 10.0
+    x1, y1 = base, base
+    x2, y2 = base + 5.0, base + 5.0
+    assert xy_cut_indices(x1, y1, x2, y2) == list(range(n))
+
+
 def test_lang_filter_pushed_to_scan(spark, tmp_path):
     """A native Column filter placed before the UDF stage must reach the
     parquet scan as a pushed filter (no html decode for skipped rows)."""

@@ -288,3 +288,34 @@ def test_strict_mode_errors(spark):
         assert "layoutparser" in str(exc.value) or "not allowed" in str(
             exc.value
         )
+
+
+def test_is_in_clamps_negative_coords_like_pad_safe_mode(spark):
+    """is_in pads `other` with safe_mode=True even for an EMPTY margin
+    (reference layout_elements.py:271/623/984): negative coordinates —
+    natural after relative_to — are clamped to 0 before containment."""
+    # rect other with negative x_1: clamped region becomes [0,0]x[5,5],
+    # so a block at x<0 is NOT inside it, but a block in [0,5]^2 is
+    b_neg = S.rectangle(-4.0, 1.0, -1.0, 2.0)
+    b_pos = S.rectangle(1.0, 1.0, 3.0, 3.0)
+    other = S.rectangle(-5.0, 0.0, 5.0, 5.0)
+    # interval other with negative start clamps to 0
+    iv = S.interval(-10.0, 4.0, axis="x")
+    row = (
+        spark.range(1)
+        .select(
+            b_neg.alias("bn"), b_pos.alias("bp"),
+            other.alias("o"), iv.alias("iv"),
+        )
+        .select(
+            is_in(F.col("bn"), F.col("o")).alias("neg_in"),
+            is_in(F.col("bp"), F.col("o")).alias("pos_in"),
+            is_in(F.col("bp"), F.col("iv")).alias("pos_in_iv"),
+            is_in(F.col("bn"), F.col("iv")).alias("neg_in_iv"),
+        )
+        .collect()[0]
+    )
+    assert row.neg_in is False      # x_1=-4 < clamped 0
+    assert row.pos_in is True
+    assert row.pos_in_iv is True    # [1,3] within clamped [0,4]
+    assert row.neg_in_iv is False
