@@ -714,16 +714,105 @@ WHERE inter * 1.0 / (ca.n_sh + cb.n_sh - inter) >= 0.01
 
 
 def q_minhash_lsh(spark, sf: str) -> DataFrame:
-    # xxhash64 has no DuckDB twin → rows-only driver check; pinned against
-    # a pure-python oracle in tests/test_dedup.py
     return minhash_lsh_pairs(
         _t(spark, sf, "documents"), num_hashes=32, bands=16, threshold=0.05
     )
 
 
+def _sql_minhash_lsh(num_hashes=32, bands=16, threshold=0.05) -> str:
+    """DuckDB twin of minhash_lsh_pairs: the same md5-lane base hash and
+    Carter-Wegman permutation constants, banded identically."""
+    from layout_parser_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_perm_consts,
+    )
+
+    r = num_hashes // bands
+    perms = ",\n         ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(minhash_perm_consts(num_hashes))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), sh AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE g IS NOT NULL
+), base AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % {MINHASH_P} AS x
+  FROM sh
+), perms(i, a, b) AS (VALUES {perms}),
+sigs AS (
+  SELECT doc_id, i, MIN((a * x + b) % {MINHASH_P}) AS m
+  FROM base CROSS JOIN perms GROUP BY doc_id, i
+), banded AS (
+  SELECT doc_id, i // {r} AS band,
+         string_agg(m::VARCHAR, ',' ORDER BY i) AS bucket
+  FROM sigs GROUP BY doc_id, i // {r}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), est AS (
+  SELECT c.id_a, c.id_b,
+         SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) * 1.0
+           / {num_hashes} AS e
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, ROUND(e, 6) AS est_jaccard
+FROM est WHERE e >= {threshold}
+"""
+
+
 def q_simhash_buckets(spark, sf: str) -> DataFrame:
-    # xxhash64-based → rows-only; python oracle in tests/test_dedup.py
     return simhash_buckets(_t(spark, sf, "documents"))
+
+
+def _sql_simhash_buckets() -> str:
+    """DuckDB twin of simhash_buckets: 60-bit md5-lane simhash, 4×15-bit
+    chunk pigeonhole join, bit_count hamming."""
+    from layout_parser_spark.operators.dedup import SIMHASH_BITS
+
+    csums = ",\n         ".join(
+        f"SUM((h >> {b}) & 1) AS c{b}" for b in range(SIMHASH_BITS)
+    )
+    simexpr = "\n           + ".join(
+        f"(CASE WHEN 2*c{b} >= n THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n,
+         {csums}
+  FROM hashed GROUP BY doc_id
+), sim AS (
+  SELECT doc_id, {simexpr} AS sim FROM agg
+), ch AS (
+  SELECT doc_id, sim, t.i AS chunk_idx,
+         (sim >> (15 * t.i)::INT) & 32767 AS chunk
+  FROM sim, (SELECT range AS i FROM range(4)) t
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sim AS sa, b.sim AS sb
+  FROM ch a JOIN ch b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM pairs
+"""
 
 
 def q_docs_token_stats(spark, sf: str) -> DataFrame:
@@ -977,9 +1066,59 @@ QUALIFY rank <= 5
 
 
 def q_ann_lsh(spark, sf: str) -> DataFrame:
-    # xxhash64 hyperplanes → rows-only; recall pinned in tests/test_similarity.py
     v, q = _queries_df(spark, sf)
-    return lsh_topk(v, q, dim=64, k=5, n_planes=4)
+    out = lsh_topk(v, q, dim=64, k=5, n_planes=4)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "cosine_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_ann_lsh(dim=64, k=5, n_planes=4) -> str:
+    """DuckDB twin of lsh_topk: hyperplanes are the SAME literal float
+    arrays (hashlib-md5-derived, embedded verbatim), so signatures and
+    the bucket equi-join match the Spark plan exactly."""
+    from layout_parser_spark.operators.similarity import hyperplane_components
+
+    def sig_expr(vcol):
+        terms = []
+        for p in range(n_planes):
+            lit = (
+                "["
+                + ", ".join(repr(c) for c in hyperplane_components(dim, p))
+                + "]"
+            )
+            terms.append(
+                f"(CASE WHEN list_dot_product({vcol}, {lit}) > 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        return "\n         + ".join(terms)
+
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+           FROM embeddings WHERE vec_id >= 3),
+     q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 3),
+     vs AS (SELECT vec_id, emb,
+         {sig_expr('emb')} AS sig FROM v),
+     qs AS (SELECT query_id, qv,
+         {sig_expr('qv')} AS sig FROM q),
+     scored AS (
+       SELECT qs.query_id, vs.vec_id,
+              ROUND(list_dot_product(vs.emb, qs.qv)
+                    / (sqrt(list_dot_product(vs.emb, vs.emb))
+                       * sqrt(list_dot_product(qs.qv, qs.qv))), 6)
+                AS cosine_sim
+       FROM vs JOIN qs ON vs.sig = qs.sig
+     )
+SELECT query_id, vec_id, cosine_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id ASC)
+            AS BIGINT) AS rank
+FROM scored QUALIFY rank <= {k}
+"""
 
 
 def q_ann_ivf(spark, sf: str) -> DataFrame:
@@ -1064,6 +1203,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter_pipeline": _sql_corpus_pipeline(),
         "ann_cosine_topk": SQL_ANN,
         "ann_ivf": SQL_ANN_IVF,
-        # minhash_lsh / simhash_buckets / ann_lsh: xxhash64-based — no ANSI
-        # twin; driver rows-only check + pure-python oracles in tests/
+        "minhash_lsh": _sql_minhash_lsh(),
+        "simhash_buckets": _sql_simhash_buckets(),
+        "ann_lsh": _sql_ann_lsh(),
     }

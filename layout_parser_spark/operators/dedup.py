@@ -9,12 +9,18 @@ Scale design notes (the point of each implementation):
   pair-count; candidate pairing cost is bounded by shingle frequency, and
   at 10^12 docs the standard cap (drop shingles with document-frequency
   above a threshold) applies before the join.
-* MinHash+LSH — k permutations via xxhash64(shingle, seed) minima (one
-  pass, map-side), banded into b bands of r rows; a shuffle on
-  (band, band_hash) buckets candidates; only bucket-mates are compared.
-  This is the O(n)-candidate near-dup path for 100 TB.
-* SimHash — 64-bit sign-aggregated token hashes; hamming-adjacent
-  bucketing by 4×16-bit chunks.
+* MinHash+LSH — ONE md5-derived base hash per shingle, then k
+  Carter-Wegman permutations h_i = (a_i·x + b_i) mod p (p = 2^31−1,
+  products stay < 2^62 so the arithmetic is overflow-free in any engine)
+  taken to their minima map-side; banded into b bands of r rows; a
+  shuffle on (band, band-key) buckets candidates; only bucket-mates are
+  compared.  This is the O(n)-candidate near-dup path for 100 TB.
+* SimHash — 60-bit sign-aggregated token hashes; hamming-adjacent
+  bucketing by 4×15-bit chunks.
+
+All hashes derive from md5 lanes (``md5_lane60``) rather than xxhash64 so
+every operator has an exact ANSI-SQL twin (DuckDB hex-cast of the same md5
+prefix) — the driver's oracle can value-verify the whole family.
 
 Everything is columnar expressions + hash aggregates; no Python in the
 hot path.
@@ -22,12 +28,42 @@ hot path.
 
 from __future__ import annotations
 
-from typing import Sequence
+import hashlib
+from typing import List, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text_analysis import tokens
+
+#: Mersenne prime 2^31−1: Carter-Wegman universe for minhash permutations.
+#: a·x with a,x < 2^31 stays < 2^62 — no overflow in Spark longs or
+#: DuckDB BIGINTs (which error rather than wrap).
+MINHASH_P = 2147483647
+
+#: 60-bit simhash (top 15 hex chars of md5) — BIGINT-safe in every engine.
+SIMHASH_BITS = 60
+
+
+def md5_lane60(c: Column) -> Column:
+    """60-bit integer lane from the md5 of a string column — the shared
+    hash primitive of the dedup family.  Exact DuckDB twin:
+    ``('0x' || substr(md5(col), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(F.encode(c, "utf-8")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def minhash_perm_consts(num_hashes: int) -> List[Tuple[int, int]]:
+    """Deterministic (a_i, b_i) Carter-Wegman constants, derived from md5
+    of fixed strings (no RNG state) — shared by the Spark plan and the
+    SQL-oracle generator so both engines hash identically."""
+    consts = []
+    for i in range(num_hashes):
+        ha = int(hashlib.md5(f"minhash-a:{i}".encode()).hexdigest()[:15], 16)
+        hb = int(hashlib.md5(f"minhash-b:{i}".encode()).hexdigest()[:15], 16)
+        consts.append((1 + ha % (MINHASH_P - 1), hb % MINHASH_P))
+    return consts
 
 
 def dedup_exact(
@@ -135,26 +171,42 @@ def ngram_jaccard_pairs(
     return pairs
 
 
-def minhash_from_shingles(sh: Column, num_hashes: int = 64) -> Column:
-    """array<long> MinHash signature from a SHINGLE ARRAY attribute: per
-    permutation seed i, min over shingles of xxhash64(shingle, i) — one
-    pass, map-side.  ``sh`` must be a plain attribute (it is referenced
-    num_hashes times)."""
+def minhash_base_hashes(sh: Column) -> Column:
+    """array<long> of per-shingle base hashes x = md5_lane60(s) mod p.
+    ONE md5 per shingle; every permutation below is integer arithmetic
+    over this array.  Stage the result as a named column before calling
+    ``minhash_from_bases`` (it is referenced num_hashes times and Catalyst
+    does not CSE across references)."""
+    return F.transform(
+        sh, lambda s: F.pmod(md5_lane60(s), F.lit(MINHASH_P))
+    )
 
-    def _perm(seed):
+
+def minhash_from_bases(bases: Column, num_hashes: int = 64) -> Column:
+    """array<long> MinHash signature from a BASE-HASH ARRAY attribute:
+    component i = min over x of (a_i·x + b_i) mod p — map-side, no
+    shuffle.  ``bases`` must be a plain attribute."""
+
+    def _perm(a, b):
         # NB: a 1-arg lambda is required — a second (defaulted) parameter
         # would make Spark pass the element INDEX into it
-        return lambda s: F.xxhash64(s, F.lit(seed))
+        return lambda x: F.pmod(
+            F.lit(a) * x + F.lit(b), F.lit(MINHASH_P)
+        )
 
     sigs = [
-        F.array_min(F.transform(sh, _perm(i))) for i in range(num_hashes)
+        F.array_min(F.transform(bases, _perm(a, b)))
+        for a, b in minhash_perm_consts(num_hashes)
     ]
     return F.array(*sigs)
 
 
 def minhash_signature(text: Column, num_hashes: int = 64, n: int = 3) -> Column:
-    """Literal/test convenience; pipelines stage shingles first."""
-    return minhash_from_shingles(word_shingles(text, n), num_hashes)
+    """Literal/test convenience; pipelines stage shingles AND base hashes
+    first (this inline form re-derives the md5 per permutation reference)."""
+    return minhash_from_bases(
+        minhash_base_hashes(word_shingles(text, n)), num_hashes
+    )
 
 
 def minhash_lsh_pairs(
@@ -171,12 +223,18 @@ def minhash_lsh_pairs(
 
     rows-per-band r = num_hashes // bands; a pair lands in a bucket iff
     one band's r components all agree — the scale path: candidates are
-    generated by an equi-shuffle on (band, hash-of-band), never by a cross
-    join.  Returns (id_a, id_b, est_jaccard)."""
+    generated by an equi-shuffle on (band, band-key), never by a cross
+    join.  Docs with zero shingles (< n tokens) carry no content signal
+    and are excluded.  Returns (id_a, id_b, est_jaccard)."""
     r = num_hashes // bands
-    staged = _staged_shingles(df, text_col, id_col, n)
-    sig = staged.select(
-        "id", minhash_from_shingles(F.col("_sh"), num_hashes).alias("sig")
+    staged = _staged_shingles(df, text_col, id_col, n).where(
+        F.size("_sh") > 0
+    )
+    based = staged.select(
+        "id", minhash_base_hashes(F.col("_sh")).alias("_bases")
+    )
+    sig = based.select(
+        "id", minhash_from_bases(F.col("_bases"), num_hashes).alias("sig")
     )
     banded = sig.select(
         "id",
@@ -186,16 +244,16 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(
-                                        F.col("sig"), bi * r + j + 1
-                                    ).cast("string")
-                                    for j in range(r)
-                                ],
-                            )
+                        # the band KEY is the joined component values —
+                        # equality is all the join needs, no re-hash
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(
+                                    F.col("sig"), bi * r + j + 1
+                                ).cast("string")
+                                for j in range(r)
+                            ],
                         ).alias("bucket"),
                     )
                     for bi in range(bands)
@@ -235,7 +293,7 @@ def minhash_lsh_pairs(
 
 
 def simhash_from_hashes(hashes: Column, n_toks: Column) -> Column:
-    """64-bit SimHash from a token-hash ARRAY attribute (see
+    """60-bit SimHash from a token-hash ARRAY attribute (see
     shingles_from_tokens performance contract)."""
 
     def _bit_set(bit):
@@ -244,7 +302,7 @@ def simhash_from_hashes(hashes: Column, n_toks: Column) -> Column:
 
     # lane b: majority vote of token-hash bit b (2*set_count >= n → 1)
     lanes = []
-    for bit in range(64):
+    for bit in range(SIMHASH_BITS):
         setcnt = F.size(F.filter(hashes, _bit_set(bit)))
         lanes.append(
             F.when(
@@ -259,11 +317,11 @@ def simhash_from_hashes(hashes: Column, n_toks: Column) -> Column:
 
 
 def simhash64(text: Column) -> Column:
-    """64-bit SimHash over tokens: per bit position, majority vote of the
-    token xxhash64 bits.  Literal/test convenience; pipelines stage the
+    """60-bit SimHash over tokens: per bit position, majority vote of the
+    token md5-lane bits.  Literal/test convenience; pipelines stage the
     hash array first (``simhash_from_hashes``)."""
     toks = tokens(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, md5_lane60)
     return simhash_from_hashes(hashes, F.size(toks))
 
 
@@ -310,7 +368,7 @@ def embedding_near_dup_pairs(
 def simhash_buckets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """SimHash near-dup bucketing: split the 64-bit hash into 4×16-bit
+    """SimHash near-dup bucketing: split the 60-bit hash into 4×15-bit
     chunks; docs within hamming distance 3 share at least one chunk
     (pigeonhole), so an equi-join on (chunk_idx, chunk) finds all such
     pairs without a cross join."""
@@ -319,7 +377,7 @@ def simhash_buckets(
     )
     hashed = toksd.select(
         "id",
-        F.transform(F.col("_toks"), lambda t: F.xxhash64(t)).alias("_h"),
+        F.transform(F.col("_toks"), md5_lane60).alias("_h"),
         F.size("_toks").alias("_n"),
     )
     sh = hashed.select(
@@ -333,8 +391,8 @@ def simhash_buckets(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.shiftright(F.col("sim"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("sim"), 15 * i)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("chunk"),
                     )
                     for i in range(4)
@@ -359,7 +417,9 @@ def simhash_buckets(
         .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "hamming",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast(
+                "long"
+            ),
         )
     )
     return pairs.select("id_a", "id_b", "hamming")

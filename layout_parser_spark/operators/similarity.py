@@ -70,20 +70,27 @@ def cosine_topk(
     )
 
 
+def hyperplane_components(dim: int, plane_idx: int) -> "list[float]":
+    """Deterministic pseudo-random hyperplane as plain floats: component
+    d = (md5_lane(plane, d) % 1001 − 500) / 500, uniform in [−1, 1] and
+    centered on 0 — reproducible everywhere with no RNG state, and
+    embeddable verbatim in the DuckDB oracle SQL (repr() of a float
+    round-trips exactly)."""
+    import hashlib
+
+    comps = []
+    for d in range(dim):
+        h = int(
+            hashlib.md5(f"hp:{plane_idx}:{d}".encode()).hexdigest()[:15], 16
+        )
+        comps.append((h % 1001 - 500) / 500.0)
+    return comps
+
+
 def hyperplane(dim: int, plane_idx: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component d =
-    (xxhash64(d, plane_idx) % 1001 − 500) / 500 — reproducible everywhere
-    with no RNG state (Date.now/np.random are banned in this pipeline)."""
-    return F.array(
-        *[
-            (
-                (F.xxhash64(F.lit(d), F.lit(plane_idx)) % 1001).cast("double")
-                / 500.0
-                - 1.0
-            )
-            for d in range(dim)
-        ]
-    )
+    """The hyperplane as a literal array column (constants fold at plan
+    time — no per-row hash evaluation)."""
+    return F.array(*[F.lit(c) for c in hyperplane_components(dim, plane_idx)])
 
 
 def rh_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
