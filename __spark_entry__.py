@@ -675,16 +675,23 @@ FROM documents GROUP BY md5(text)
 """
 
 
+#: shingle document-frequency cap (see ngram_jaccard_pairs docstring);
+#: measured max df is 3 at sf0.01 / 6 at sf0.1, so τ=100 does not bind at
+#: test scale but bounds candidate generation on production boilerplate
+NGRAM_MAX_SHINGLE_DF = 100
+
+
 def q_dedup_ngram_jaccard(spark, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(
         _t(spark, sf, "documents"),
         n=3,
         threshold=0.01,
         block_col="source",
+        max_shingle_df=NGRAM_MAX_SHINGLE_DF,
     )
 
 
-SQL_NGRAM_JACCARD = """
+SQL_NGRAM_JACCARD = f"""
 WITH toks AS (
   SELECT doc_id, source,
          unnest(string_split(text, ' ')) AS tok,
@@ -698,10 +705,17 @@ WITH toks AS (
   SELECT DISTINCT doc_id, source, g FROM grams WHERE g IS NOT NULL
 ), counts AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), hot AS (
+  SELECT source, g FROM sh GROUP BY source, g
+  HAVING COUNT(*) > {NGRAM_MAX_SHINGLE_DF}
+), kept AS (
+  SELECT sh.* FROM sh
+  WHERE NOT EXISTS (SELECT 1 FROM hot
+                    WHERE hot.source = sh.source AND hot.g = sh.g)
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.g = b.g AND a.source = b.source
-                      AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.g = b.g AND a.source = b.source
+                          AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,

@@ -130,13 +130,24 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     block_col: str | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All (a,b) id pairs with word-n-gram Jaccard ≥ threshold.
 
     explode(distinct shingles) → self-join on shingle (optionally also on a
     blocking column to bound candidates) → |A∩B| by pair-count →
     J = inter / (|A| + |B| − inter).  Returns (id_a, id_b, jaccard),
-    id_a < id_b."""
+    id_a < id_b.
+
+    ``max_shingle_df`` is the standard document-frequency cap: a shingle
+    appearing in more than τ documents (stop-word-like boilerplate)
+    produces O(df²) candidate pairs — a quadratic bomb at 10^12 docs — and
+    carries no dedup signal, so it is dropped BEFORE the self-join.  The
+    hot-shingle list is tiny by construction (only shingles with df > τ),
+    so the drop is a broadcast anti-join — the exploded table is never
+    shuffled for it, and the groupBy that finds the hot list is map-side
+    combined.  Jaccard denominators keep the FULL shingle-set sizes, so
+    scores for surviving pairs are true Jaccard."""
     staged = _staged_shingles(df, text_col, id_col, n, block_col)
     sh = staged.select(
         "id",
@@ -145,6 +156,14 @@ def ngram_jaccard_pairs(
         F.explode("_sh").alias("shingle"),
     )
     join_keys = ["shingle"] + (["blk"] if block_col else [])
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy(*join_keys)
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_shingle_df)
+            .select(*join_keys)
+        )
+        sh = sh.join(F.broadcast(hot), on=join_keys, how="left_anti")
     a = sh.select(
         *[F.col(c) for c in join_keys],
         F.col("id").alias("id_a"),
@@ -331,38 +350,80 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     block_col: str | None = None,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: all (a,b) with
-    cos(v_a, v_b) ≥ threshold, optionally blocked by a grouping column
-    (label/host) to bound the pair space.
+    """Embedding-cosine near-duplicate pairs: (a,b) with
+    cos(v_a, v_b) ≥ threshold.
 
-    Small/medium corpora: blocked self-join with columnar cosine (below).
-    At 10^12 scale, candidates come from ``similarity.lsh_topk``-style
-    signature buckets instead of the blocked join; the scoring expression
-    is shared."""
-    from .similarity import cosine
+    Two candidate generators, both equi-joins (never a theta/cross join):
+
+    * ``block_col`` given — self-join within the blocking column
+      (label/host); right when blocks are small and near-dups cannot
+      cross blocks.
+    * ``block_col=None`` — multi-table random-hyperplane LSH: each vector
+      gets ``n_tables`` signatures (independent plane families via
+      ``plane_offset``); candidates share (table, signature); exact
+      cosine verifies every candidate.  Recall for a pair at cosine s is
+      1 − (1 − p^r)^b with p = 1 − θ(s)/π, r = n_planes, b = n_tables
+      (≈ 0.97 at s = 0.95 with r = 6, b = 4); pinned by
+      tests/test_dedup_similarity.py.  This is the 10^12-scale path: the
+      pair space is bounded by bucket occupancy, not n²."""
+    from .similarity import cosine, rh_signature
 
     v = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
-    a, b = v.alias("a"), v.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
     if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+        a, b = v.alias("a"), v.alias("b")
         pairs = a.join(b, on="blk").where(F.col("a.id") < F.col("b.id"))
-    else:
-        pairs = a.join(b, cond)
-    sim = cosine(F.col("a.v"), F.col("b.v"))
-    return (
-        pairs.select(
+        sim = cosine(F.col("a.v"), F.col("b.v"))
+        return pairs.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(sim, 6).alias("cosine_sim"),
+        ).where(F.col("cosine_sim") >= threshold)
+
+    sigs = v.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        rh_signature(
+                            F.col("v"), dim, n_planes, plane_offset=t * n_planes
+                        ).alias("sig"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("ts"),
+    ).select("id", "v", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
         )
-        .where(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
+    sim = cosine(F.col("va"), F.col("vb"))
+    return cand.select(
+        "id_a", "id_b", F.round(sim, 6).alias("cosine_sim")
+    ).where(F.col("cosine_sim") >= threshold)
 
 
 def simhash_buckets(

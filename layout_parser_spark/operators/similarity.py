@@ -93,11 +93,15 @@ def hyperplane(dim: int, plane_idx: int) -> Column:
     return F.array(*[F.lit(c) for c in hyperplane_components(dim, plane_idx)])
 
 
-def rh_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Random-hyperplane signature as an n_planes-bit int."""
+def rh_signature(
+    vec: Column, dim: int, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
+    """Random-hyperplane signature as an n_planes-bit int.
+    ``plane_offset`` selects an independent plane family — multi-table
+    LSH uses offsets t·n_planes for table t."""
     bits = []
     for p in range(n_planes):
-        d = dot(vec, hyperplane(dim, p))
+        d = dot(vec, hyperplane(dim, plane_offset + p))
         bits.append(
             F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
                 F.lit(0).cast("long")
@@ -164,18 +168,45 @@ def ivf_topk(
             F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
         )
     )
-    # assign vectors to nearest centroid
-    vc = vectors.crossJoin(F.broadcast(centroids)).select(
-        id_col,
-        vec_col,
-        "c_id",
-        cosine(F.col(vec_col), F.col("c_vec")).alias("c_sim"),
+    # assign vectors to nearest centroid SHUFFLE-FREE: broadcast ONE row
+    # holding the (sorted) centroid array, argmax by a fold — the per-
+    # vector row_number window this replaces exploded n×nlist rows and
+    # shuffled them on vec_id, the wrong shape at 10^9 vectors.
+    cent_row = centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("c_id"), F.col("c_vec")))
+        ).alias("_cents")
     )
-    wv = Window.partitionBy(id_col).orderBy(
-        F.col("c_sim").desc(), F.col("c_id").asc()
-    )
+
+    def _best(vec, cents):
+        # fold keeping (sim, c_id) of the best centroid; strict > keeps
+        # the FIRST (smallest c_id, array is sorted) on ties — same
+        # semantics as orderBy(c_sim desc, c_id asc) row_number()=1
+        init = F.struct(
+            F.lit(-2.0).cast("double").alias("s"),
+            F.lit(None).cast("long").alias("c"),
+        )
+        return F.aggregate(
+            cents,
+            init,
+            lambda acc, c: F.when(
+                cosine(vec, c["c_vec"]) > acc["s"],
+                F.struct(
+                    cosine(vec, c["c_vec"]).alias("s"),
+                    c["c_id"].cast("long").alias("c"),
+                ),
+            ).otherwise(acc),
+        )
+
     assigned = (
-        vc.withColumn("r", F.row_number().over(wv)).where("r = 1").drop("r")
+        vectors.crossJoin(F.broadcast(cent_row))
+        .withColumn("_best", _best(F.col(vec_col), F.col("_cents")))
+        .select(
+            id_col,
+            vec_col,
+            F.col("_best.c").alias("c_id"),
+            F.col("_best.s").alias("c_sim"),
+        )
     )
     # queries probe nprobe nearest lists
     qc = queries.crossJoin(F.broadcast(centroids)).select(

@@ -147,3 +147,38 @@ def test_line_detection_counts_multirow():
     assert len(lines) == 2
     assert lines[0] == (0.0, 0.0, 95.0, 10.0)
     assert lines[1] == (0.0, 30.0, 95.0, 40.0)
+
+
+def test_embedding_near_dup_lsh_path_recall(spark):
+    """Unblocked embedding_near_dup_pairs must use LSH candidates (an
+    equi-join, never a cross join) and recover most true near-dup pairs;
+    every emitted score must equal the exact cosine."""
+    from layout_parser_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+
+    thr = 0.3
+    # exact all-pairs baseline via the blocked path with ONE block
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_dup_pairs(
+            emb.withColumn("one", F.lit(1)), threshold=thr, block_col="one"
+        ).collect()
+    }
+    # r/b matched to the LOW test threshold: p(0.3) ≈ 0.60 → recall
+    # 1−(1−p²)⁸ ≈ 0.97.  The default (r=6, b=4) targets s ≥ 0.9.
+    approx_df = embedding_near_dup_pairs(
+        emb, threshold=thr, block_col=None, n_planes=2, n_tables=8
+    )
+    # plan shape: candidate generation must be an equi-join (hash/sort-merge
+    # join with join keys), not a cartesian/broadcast-nested-loop product
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    approx = {(r.id_a, r.id_b): r.cosine_sim for r in approx_df.collect()}
+
+    assert exact, "baseline found no pairs — test corpus/threshold wrong"
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.5, (recall, len(exact), len(approx))
+    for k, v in approx.items():
+        assert k in exact and abs(exact[k] - v) < 1e-9
