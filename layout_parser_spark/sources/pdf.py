@@ -6,11 +6,13 @@ clips coords to the page box (:60-65), renames x0/x1/top/bottom →
 x_1/x_2/y_1/y_2, maps **fontname → type** (:67-79), assigns id = index and
 records page width/height/index in page_data (:199-201).
 
-pdfplumber is not installed in this container, so the source is gated: the
-Spark plumbing (binary payload → ARRAY<TEXTBLOCK> per page via
-mapInPandas) is real; the token extraction raises ``NotImplementedError``
-unless pdfplumber is importable, and tests exercise the conversion with a
-fake extractor.
+Token source: pdfplumber when importable (reference-exact); otherwise the
+vendored pure-python extractor ``pdf_mini`` (classic-xref + FlateDecode +
+simple-font subset of the public PDF spec) with the same word-dict
+contract — the source is UNGATED either way.  Validated against the
+reference fixtures example.pdf (1 page, 3 font types,
+tests/test_io.py:72-81) and empty.pdf (1 page, 0 tokens) in
+tests/test_pdf.py.
 """
 
 from __future__ import annotations
@@ -66,33 +68,44 @@ def words_to_blocks(words: List[dict], page_w: float, page_h: float) -> List[dic
 
 
 def extract_pdf_pages(payload: bytes) -> List[tuple]:
-    """One PDF binary → [(page_index, page_w, page_h, blocks)].  Requires
-    pdfplumber."""
-    if not HAVE_PDFPLUMBER:
-        raise NotImplementedError(
-            "pdfplumber is not available in this environment; the Spark "
-            "plumbing is tested with a fake extractor (tests/test_io.py)"
-        )
-    import io as _io
+    """One PDF binary → [(page_index, page_w, page_h, blocks)].
 
-    out = []
-    with pdfplumber.open(_io.BytesIO(payload)) as pdf:
-        for idx, page in enumerate(pdf.pages):
-            words = page.extract_words(
-                x_tolerance=X_TOLERANCE,
-                y_tolerance=Y_TOLERANCE,
-                keep_blank_chars=False,
-                use_text_flow=True,
-            )
-            out.append(
-                (
-                    idx,
-                    float(page.width),
-                    float(page.height),
-                    words_to_blocks(words, float(page.width), float(page.height)),
+    Token source: pdfplumber when installed (reference-exact,
+    io/pdf.py:45-53); otherwise the vendored pure-python extractor
+    (``pdf_mini``) with the same word-dict contract — validated against
+    the reference fixtures example.pdf / empty.pdf in tests/test_pdf.py."""
+    if HAVE_PDFPLUMBER:
+        import io as _io
+
+        out = []
+        with pdfplumber.open(_io.BytesIO(payload)) as pdf:
+            for idx, page in enumerate(pdf.pages):
+                words = page.extract_words(
+                    x_tolerance=X_TOLERANCE,
+                    y_tolerance=Y_TOLERANCE,
+                    keep_blank_chars=False,
+                    use_text_flow=True,
                 )
-            )
-    return out
+                out.append(
+                    (
+                        idx,
+                        float(page.width),
+                        float(page.height),
+                        words_to_blocks(
+                            words, float(page.width), float(page.height)
+                        ),
+                    )
+                )
+        return out
+
+    from .pdf_mini import extract_pdf_words
+
+    return [
+        (idx, w, h, words_to_blocks(words, w, h))
+        for idx, w, h, words in extract_pdf_words(
+            payload, x_tolerance=X_TOLERANCE, y_tolerance=Y_TOLERANCE
+        )
+    ]
 
 
 PDF_PAGES_SCHEMA = StructType(
