@@ -30,7 +30,15 @@ import sys
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="pages table path (parquet)")
+    ap.add_argument("--input", required=True,
+                    help="pages source: parquet path (contains '/') or an "
+                         "Iceberg table identifier like lps.db.pages")
+    ap.add_argument("--bucket-method", default=None,
+                    choices=["xxhash64", "iceberg"],
+                    help="resume-bucket hash; 'iceberg' aligns with the "
+                         "table's bucket(N, url) partitions for pruned "
+                         "resume (default: iceberg for table inputs, "
+                         "xxhash64 for paths)")
     ap.add_argument("--output", required=True, help="output root")
     ap.add_argument("--buckets", type=int, default=64,
                     help="manifest/resume bucket count (match table bucketing)")
@@ -50,8 +58,14 @@ def main(argv=None) -> int:
     from layout_parser_spark.plans.manifest import run_with_manifest
     from layout_parser_spark.session import get_spark
 
+    from layout_parser_spark.sources.iceberg import read_pages
+
     spark = get_spark("lps-extract")
-    pages = spark.read.parquet(args.input)
+    pages = read_pages(spark, args.input)
+    is_table = "/" not in args.input
+    bucket_method = args.bucket_method or (
+        "iceberg" if is_table else "xxhash64"
+    )
     if args.lang:
         # native Column filter BEFORE the UDF stage → pushed into the scan
         pages = pages.where(F.col("lang") == args.lang)
@@ -74,6 +88,7 @@ def main(argv=None) -> int:
         pipeline=pipeline,
         run_id=args.run_id,
         max_buckets_per_run=args.max_buckets,
+        bucket_method=bucket_method,
     )
     print(
         f"processed={len(result['processed'])} buckets, "

@@ -1,22 +1,30 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container; see ``decode_image``) behind a deterministic fake — but the
-Spark-side plumbing is real and tested: schema, Arrow batch shape,
-mapInPandas signatures, partitioning.  Swapping the stub for PIL/ffmpeg is
-a one-function change.
+Decode support, in order of preference:
+
+* REAL pixel decode for headerless-simple formats — binary PPM/PGM (P6/
+  P5) and uncompressed BI_RGB BMP (24/32-bit) — implemented here in
+  numpy from the public format specs, no external libraries.  This backs
+  a real ``crop_image`` (reference layout_elements.py:443-445: numpy
+  slice ``img[y1:y2, x1:x2]``) over distributed binary columns.
+* PIL when installed (gated import) for JPEG/PNG.
+* otherwise the deterministic fake (``_fake_decode``) keeps the plumbing
+  (schema, Arrow batch shape, mapInPandas signatures) testable.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import struct
+from typing import Iterator, Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     StringType,
@@ -69,18 +77,108 @@ def _fake_decode(payload: bytes):
     return h, w, [v / total for v in hist]
 
 
+def _decode_pnm(payload: bytes) -> Optional[np.ndarray]:
+    """Binary PPM (P6) / PGM (P5) → uint8 array (h, w, 3).  Public netpbm
+    format: ASCII header tokens (magic, width, height, maxval; '#'
+    comments) then raw samples."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        return None
+    pos = 2
+    tokens = []
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        return None
+    nchan = 3 if magic == b"P6" else 1
+    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * nchan, offset=pos)
+    arr = raw.reshape(h, w, nchan)
+    if nchan == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
+
+
+def _decode_bmp(payload: bytes) -> Optional[np.ndarray]:
+    """Uncompressed BI_RGB 24/32-bit BMP → uint8 array (h, w, 3) in RGB.
+    Public BITMAPFILEHEADER/BITMAPINFOHEADER layout; rows are bottom-up
+    and padded to 4 bytes."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        return None
+    h = abs(h_signed)
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3
+    rows = []
+    for r in range(h):
+        off = data_off + r * stride
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * nb, offset=off)
+        rows.append(row.reshape(w, nb))
+    arr = np.stack(rows)
+    if h_signed > 0:  # bottom-up storage
+        arr = arr[::-1]
+    # BGR(A) → RGB
+    return np.ascontiguousarray(arr[:, :, 2::-1])
+
+
+def decode_pixels(payload: bytes) -> Optional[np.ndarray]:
+    """Image payload → uint8 pixel array (h, w, 3), or None if the format
+    is not one of the natively-supported simple formats (PPM/PGM/BMP) and
+    PIL is unavailable."""
+    if payload is None:
+        return None
+    arr = _decode_pnm(payload)
+    if arr is None:
+        arr = _decode_bmp(payload)
+    if arr is None and HAVE_PIL:
+        import io as _io
+
+        img = Image.open(_io.BytesIO(payload)).convert("RGB")
+        arr = np.asarray(img)
+    return arr
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) → binary PPM (P6) bytes — the re-encode used for
+    crop outputs so downstream stages get self-describing binaries."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
 def decode_image(payload: bytes):
     """Decode an image payload → (height, width, feature_vector).
 
-    Real decode requires PIL, which this container lacks; the Spark
-    plumbing uses the deterministic fake instead.  With PIL installed this
-    raises NotImplementedError until a real feature extractor is chosen —
-    the contract (shape of the return) is what the pipeline tests."""
-    if HAVE_PIL:
-        raise NotImplementedError(
-            "real image decode path not wired in this environment"
-        )
-    return _fake_decode(payload)
+    Real pixels for PPM/PGM/BMP (and anything PIL handles when
+    installed): features = 16-bin luminance histogram.  Unsupported
+    formats fall back to the deterministic fake so the plumbing stays
+    total."""
+    if payload is None:
+        return None, None, None
+    arr = decode_pixels(payload)
+    if arr is None:
+        return _fake_decode(payload)
+    lum = (
+        0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    ).astype(np.uint8)
+    hist = np.bincount(lum.reshape(-1) >> 4, minlength=16).astype("float64")
+    hist /= max(1.0, hist.sum())
+    return int(arr.shape[0]), int(arr.shape[1]), [float(v) for v in hist]
 
 
 IMAGE_FEATURES = StructType(
@@ -113,6 +211,78 @@ def extract_image_features(
             out = pdf.copy()
             out[out_col] = feats
             yield out
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+CROP_SCHEMA_FIELDS = [
+    StructField("block_id", IntegerType(), True),
+    StructField("crop_w", IntegerType(), True),
+    StructField("crop_h", IntegerType(), True),
+    StructField("crop", BinaryType(), True),
+]
+
+
+def crop_image_blocks(
+    df: DataFrame,
+    payload_col: str = "payload",
+    blocks_col: str = "blocks",
+    key_cols: tuple = ("url",),
+) -> DataFrame:
+    """Distributed ``crop_image`` (reference layout_elements.py:443-445,
+    764-766: ``img[int(y_1):int(y_2), int(x_1):int(x_2)]``; quads crop
+    their bounding rectangle): one output row per (document, block) with
+    the cropped pixels re-encoded as PPM.  Decode+slice+encode run inside
+    one mapInPandas stage; only the (small) crops cross back."""
+    key_fields = [df.schema[c] for c in key_cols]
+    schema = StructType(list(key_fields) + CROP_SCHEMA_FIELDS)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                arr = decode_pixels(bytes(payload)) if payload is not None else None
+                if arr is None:
+                    continue
+                h, w = arr.shape[:2]
+                blks = row[blocks_col]
+                if blks is None:  # Arrow hands lists back as ndarrays —
+                    blks = []     # no implicit truthiness
+                for b in blks:
+                    bd = b if isinstance(b, dict) else b.asDict()
+                    pts = bd.get("points")
+                    if (
+                        bd.get("block_type") == "quadrilateral"
+                        and pts is not None
+                        and len(pts) == 8
+                    ):
+                        xs = list(pts[0::2])
+                        ys = list(pts[1::2])
+                        x1, y1, x2, y2 = min(xs), min(ys), max(xs), max(ys)
+                    else:
+                        x1, y1 = bd.get("x_1") or 0, bd.get("y_1") or 0
+                        x2, y2 = bd.get("x_2") or 0, bd.get("y_2") or 0
+                    # reference slices with raw int() coords; numpy clamps
+                    # negative/overflow indices the same way cv2 images do
+                    crop = arr[
+                        max(0, int(y1)) : max(0, min(h, int(y2))),
+                        max(0, int(x1)) : max(0, min(w, int(x2))),
+                    ]
+                    recs.append(
+                        tuple(row[c] for c in key_cols)
+                        + (
+                            bd.get("id"),
+                            int(crop.shape[1]),
+                            int(crop.shape[0]),
+                            encode_ppm(crop) if crop.size else None,
+                        )
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=list(key_cols)
+                + ["block_id", "crop_w", "crop_h", "crop"],
+            )
 
     return df.mapInPandas(gen, schema=schema)
 

@@ -32,7 +32,17 @@ MANIFEST_SCHEMA = (
 )
 
 
-def bucket_of(url_col, n_buckets: int):
+def bucket_of(url_col, n_buckets: int, method: str = "xxhash64"):
+    """Resume-bucket expression.  ``method='iceberg'`` uses the table's
+    own ``system.bucket(N, url)`` transform (Murmur3, Iceberg spec
+    Appendix B) so the bucket filter prunes to exactly one partition of a
+    ``PARTITIONED BY (bucket(N, url))`` table; requires an Iceberg
+    catalog.  Default xxhash64 works on any source (no pruning)."""
+    if method == "iceberg":
+        from ..sources.iceberg import iceberg_bucket_of
+
+        name = url_col if isinstance(url_col, str) else "url"
+        return iceberg_bucket_of(name, n_buckets)
     return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
 
 
@@ -69,6 +79,7 @@ def run_with_manifest(
     url_col: str = "url",
     text_col: str = "extracted_text",
     max_buckets_per_run: Optional[int] = None,
+    bucket_method: str = "xxhash64",
 ) -> dict:
     """Process all PENDING buckets of ``pages`` through ``pipeline``,
     committing one output directory + manifest row per bucket.
@@ -81,7 +92,9 @@ def run_with_manifest(
     if max_buckets_per_run is not None:
         pending = pending[:max_buckets_per_run]
 
-    withb = pages.withColumn("_bucket", bucket_of(F.col(url_col), n_buckets))
+    withb = pages.withColumn(
+        "_bucket", bucket_of(url_col, n_buckets, method=bucket_method)
+    )
     processed = []
     for b in pending:
         part = withb.where(F.col("_bucket") == b).drop("_bucket")

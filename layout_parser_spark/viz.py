@@ -72,6 +72,87 @@ def draw_blocks_svg(
     return "".join(parts)
 
 
+def draw_text_svg(
+    page_w: float,
+    page_h: float,
+    blocks,
+    arrangement: str = "lr",
+    font_size: int = 12,
+    text_color: str = "#000000",
+    text_background_color: str = "#ffffff",
+    text_background_alpha: float = 1.0,
+    with_box_on_text: bool = False,
+    text_box_alpha: float = 0.5,
+    with_layout: bool = False,
+    scale: float = 0.5,
+) -> str:
+    """SVG analogue of the reference's ``draw_text``
+    (visualization.py:417-571): a side-by-side canvas — the original box
+    layout on one side, each block's TEXT drawn at its own coordinates on
+    the other — for visual comparison.  ``arrangement`` 'lr' (left/right)
+    or 'ud' (up/down); alphas validated like the reference
+    (visualization.py:506-511)."""
+    if not 0 <= text_background_alpha <= 1:
+        raise ValueError("The text_background_alpha value must be within [0, 1]")
+    if not 0 <= text_box_alpha <= 1:
+        raise ValueError("The text_box_alpha value must be within [0, 1]")
+    if arrangement not in ("lr", "ud"):
+        raise ValueError(f"Invalid arrangement {arrangement!r} (use 'lr' or 'ud')")
+
+    if arrangement == "lr":
+        total_w, total_h = 2 * page_w, page_h
+        dx, dy = page_w, 0.0
+    else:
+        total_w, total_h = page_w, 2 * page_h
+        dx, dy = 0.0, page_h
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" '
+        f'width="{total_w * scale:.0f}" height="{total_h * scale:.0f}" '
+        f'viewBox="0 0 {total_w:.0f} {total_h:.0f}">'
+    ]
+    # text panel background
+    parts.append(
+        f'<rect x="{dx:.0f}" y="{dy:.0f}" width="{page_w:.0f}" '
+        f'height="{page_h:.0f}" fill="{text_background_color}" '
+        f'fill-opacity="{text_background_alpha:.2f}"/>'
+    )
+    inner = draw_blocks_svg(page_w, page_h, blocks, scale=1.0)
+    # strip the outer <svg> wrapper and re-embed as the layout panel
+    body = inner[inner.index(">") + 1 : inner.rindex("</svg>")]
+    parts.append(f"<g>{body}</g>")
+    if with_layout:
+        # reference with_layout=True also draws the boxes on the text
+        # panel (visualization.py:545-553)
+        parts.append(
+            f'<g transform="translate({dx:.0f},{dy:.0f})" opacity="0.4">'
+            f"{body}</g>"
+        )
+    for b in blocks:
+        d = b.asDict() if hasattr(b, "asDict") else dict(b)
+        if d.get("block_type") == "quadrilateral" and d.get("points"):
+            x, y = d["points"][0], d["points"][1]
+        else:
+            x, y = d.get("x_1") or 0, d.get("y_1") or 0
+        txt = d.get("text") or ""
+        if with_box_on_text:
+            color = _PALETTE.get(d.get("type") or "", "#333333")
+            x2 = d.get("x_2") or x
+            y2 = d.get("y_2") or y
+            parts.append(
+                f'<rect x="{x + dx:.1f}" y="{y + dy:.1f}" '
+                f'width="{x2 - x:.1f}" height="{y2 - y:.1f}" fill="none" '
+                f'stroke="{color}" stroke-opacity="{text_box_alpha:.2f}"/>'
+            )
+        parts.append(
+            f'<text x="{x + dx:.1f}" y="{y + dy + font_size:.1f}" '
+            f'font-size="{font_size}" fill="{text_color}">'
+            f"{escape(txt[:120])}</text>"
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
 def draw_sample(
     df,
     n: int = 3,

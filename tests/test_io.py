@@ -221,3 +221,40 @@ def test_viz_svg_sample(spark):
     assert len(svgs) == 1
     assert svgs[0].startswith("<svg") and "rect" in svgs[0]
     assert "Figure" in svgs[0] and "Nav" in svgs[0]
+
+
+def test_draw_text_svg_side_by_side():
+    """draw_text analogue (reference visualization.py:417-571): side-by-side
+    panels, text at block coordinates on the second panel, reference-style
+    argument validation."""
+    import pytest as _pytest
+
+    from layout_parser_spark.viz import draw_text_svg
+
+    blocks = [
+        {"block_type": "rectangle", "x_1": 10.0, "y_1": 20.0, "x_2": 110.0,
+         "y_2": 40.0, "text": "hello", "type": "Text", "score": 1.0},
+        {"block_type": "rectangle", "x_1": 10.0, "y_1": 60.0, "x_2": 110.0,
+         "y_2": 80.0, "text": "<world>", "type": "Title", "score": 0.5},
+    ]
+    svg = draw_text_svg(200.0, 100.0, blocks, arrangement="lr")
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert 'viewBox="0 0 400 100"' in svg  # lr doubles the width
+    assert "hello" in svg and "&lt;world&gt;" in svg  # text escaped
+    # text panel entries are shifted by page_w
+    assert 'x="210.0"' in svg
+
+    svg_ud = draw_text_svg(200.0, 100.0, blocks, arrangement="ud")
+    assert 'viewBox="0 0 200 200"' in svg_ud  # ud doubles the height
+
+    with _pytest.raises(ValueError, match="text_background_alpha"):
+        draw_text_svg(200, 100, blocks, text_background_alpha=1.5)
+    with _pytest.raises(ValueError, match="text_box_alpha"):
+        draw_text_svg(200, 100, blocks, text_box_alpha=-0.1)
+    with _pytest.raises(ValueError, match="arrangement"):
+        draw_text_svg(200, 100, blocks, arrangement="diagonal")
+
+    boxed = draw_text_svg(200, 100, blocks, with_box_on_text=True,
+                          with_layout=True)
+    assert 'stroke-opacity="0.50"' in boxed
+    assert 'transform="translate(200,0)"' in boxed
