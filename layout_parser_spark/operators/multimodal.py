@@ -137,15 +137,94 @@ def _decode_bmp(payload: bytes) -> Optional[np.ndarray]:
     return np.ascontiguousarray(arr[:, :, 2::-1])
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes) -> Optional[np.ndarray]:
+    """Non-interlaced 8-bit RGB/RGBA/grayscale PNG → uint8 (h, w, 3).
+    Public PNG spec: IHDR/IDAT chunks, zlib inflate, per-scanline filters
+    0–4 (None/Sub/Up/Average/Paeth) unfiltered vectorized per row."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos = 8
+    w = h = None
+    nchan = 0
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0:
+                return None
+            nchan = {0: 1, 2: 3, 4: 2, 6: 4}.get(color, 0)
+            if nchan == 0:  # palette images unsupported
+                return None
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if not idat or w is None:
+        return None
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nchan
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    off = 0
+    for r in range(h):
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        off += stride + 1
+        if ftype == 0:
+            cur = line.copy()
+        elif ftype == 2:  # Up
+            cur = line + prev
+        else:  # Sub/Average/Paeth need the running left pixel
+            cur = np.empty(stride, dtype=np.uint8)
+            li = int(0)
+            for i in range(stride):
+                a = int(cur[i - nchan]) if i >= nchan else 0
+                b = int(prev[i])
+                if ftype == 1:
+                    p = a
+                elif ftype == 3:
+                    p = (a + b) // 2
+                else:  # Paeth
+                    c = int(prev[i - nchan]) if i >= nchan else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    p = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + p) & 0xFF
+        out[r] = cur
+        prev = cur
+    arr = out.reshape(h, w, nchan)
+    if nchan == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    elif nchan == 2:  # gray+alpha
+        arr = np.repeat(arr[:, :, :1], 3, axis=2)
+    elif nchan == 4:
+        arr = arr[:, :, :3]
+    return np.ascontiguousarray(arr)
+
+
 def decode_pixels(payload: bytes) -> Optional[np.ndarray]:
     """Image payload → uint8 pixel array (h, w, 3), or None if the format
-    is not one of the natively-supported simple formats (PPM/PGM/BMP) and
-    PIL is unavailable."""
+    is not one of the natively-supported simple formats (PPM/PGM/BMP/
+    non-interlaced 8-bit PNG) and PIL is unavailable."""
     if payload is None:
         return None
     arr = _decode_pnm(payload)
     if arr is None:
         arr = _decode_bmp(payload)
+    if arr is None:
+        arr = _decode_png(payload)
     if arr is None and HAVE_PIL:
         import io as _io
 

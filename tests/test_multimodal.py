@@ -120,3 +120,62 @@ def test_media_metadata_and_features(spark):
     assert feat.meta.byte_len == len(encode_ppm(arr))
     assert feat.img.height == 8 and feat.img.width == 8
     assert len(feat.img.features) == 16
+
+
+def _png_bytes(arr, filter_type=0, color=2):
+    """Forward-encode (h, w, 3|4) as a PNG using one filter type for all
+    rows (the test applies the spec's forward filter so decode must
+    invert it)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    h, w = arr.shape[:2]
+    nchan = arr.shape[2]
+    raw = bytearray()
+    prev = np.zeros(w * nchan, dtype=np.int32)
+    for r in range(h):
+        line = arr[r].reshape(-1).astype(np.int32)
+        f = np.empty_like(line)
+        for i in range(len(line)):
+            a = int(line[i - nchan]) if i >= nchan else 0
+            b = int(prev[i])
+            c = int(prev[i - nchan]) if i >= nchan else 0
+            if filter_type == 0:
+                p = 0
+            elif filter_type == 1:
+                p = a
+            elif filter_type == 2:
+                p = b
+            elif filter_type == 3:
+                p = (a + b) // 2
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                p = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            f[i] = (int(line[i]) - p) & 0xFF
+        raw.append(filter_type)
+        raw.extend(f.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype, data):
+        return (_struct.pack(">I", len(data)) + ctype + data
+                + _struct.pack(">I", _zlib.crc32(ctype + data)))
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_decode_all_filters(ftype):
+    arr = _grad(13, 9)
+    assert np.array_equal(decode_pixels(_png_bytes(arr, ftype)), arr)
+
+
+def test_png_decode_rgba_drops_alpha():
+    rgb = _grad(6, 7)
+    rgba = np.concatenate(
+        [rgb, np.full((6, 7, 1), 128, dtype=np.uint8)], axis=2
+    )
+    out = decode_pixels(_png_bytes(rgba, filter_type=4, color=6))
+    assert np.array_equal(out, rgb)
