@@ -42,7 +42,11 @@ def _vertex_in_poly(v, pts):
 
 
 def is_in(a, o, center_mode=False):
-    """layout_elements.py:268-297 / :620-657 / :981-1018 (no soft margin)."""
+    """layout_elements.py:268-297 / :620-657 / :981-1018.  The reference
+    ALWAYS calls other.pad(**soft_margin) with safe_mode=True — so even
+    with no soft margin, `other`'s negative coordinates clamp to 0 first
+    (pad defined further down in this module)."""
+    o = pad(o)
     ox1, oy1, ox2, oy2 = coords(o)
     if a["kind"] == "i":
         c = (a["start"] + a["end"]) / 2.0
