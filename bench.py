@@ -121,12 +121,22 @@ def main():
         "geom_rect_algebra",
         "geom_is_in_join",
     ]
+    # best-of-2 per query: the sandbox VM shows noisy-neighbor CPU steal
+    # (single runs swing 2×) — the min is the least-contended estimate of
+    # the plan's own cost (same protocol as --scaling, documented in
+    # BENCH/BASELINE.md)
     for name in headline:
         fn = qs[name]
         results[name] = round(
-            timed(lambda: fn(spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()),
+            min(
+                timed(
+                    lambda: fn(spark, SF_DIR)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                for _ in range(2)
+            ),
             3,
         )
 

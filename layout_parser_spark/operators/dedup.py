@@ -164,16 +164,21 @@ def ngram_jaccard_pairs(
             .select(*join_keys)
         )
         sh = sh.join(F.broadcast(hot), on=join_keys, how="left_anti")
+    # MERGE hint: without it Spark broadcasts one side of the self-join —
+    # collecting the ENTIRE exploded shingle table to the driver and
+    # rebuilding its hash table per task (measured 2× slower at sf0.1, and
+    # a driver OOM at 10^12 docs); the sort-merge self-join shuffles both
+    # sides on (shingle[, blk]) — the shape that scales
     a = sh.select(
         *[F.col(c) for c in join_keys],
         F.col("id").alias("id_a"),
         F.col("n_sh").alias("na"),
-    )
+    ).hint("MERGE")
     b = sh.select(
         *[F.col(c) for c in join_keys],
         F.col("id").alias("id_b"),
         F.col("n_sh").alias("nb"),
-    )
+    ).hint("MERGE")
     pairs = (
         a.join(b, on=join_keys)
         .where(F.col("id_a") < F.col("id_b"))
@@ -246,8 +251,16 @@ def minhash_lsh_pairs(
     join.  Docs with zero shingles (< n tokens) carry no content signal
     and are excluded.  Returns (id_a, id_b, est_jaccard)."""
     r = num_hashes // bands
-    staged = _staged_shingles(df, text_col, id_col, n).where(
-        F.size("_sh") > 0
+    # zero-shingle exclusion is expressed on the RAW token count (size ≥ n
+    # ⇔ at least one n-gram): an equivalent `where(size(_sh) > 0)` AFTER
+    # staging gets predicate-pushed below the projection, inlining the
+    # whole gram expression (split included) into the filter — evaluating
+    # the O(tokens) lambda twice per row and the split per ELEMENT
+    staged = _staged_shingles(
+        df.where(F.size(F.split(F.col(text_col), " ")) >= n),
+        text_col,
+        id_col,
+        n,
     )
     based = staged.select(
         "id", minhash_base_hashes(F.col("_sh")).alias("_bases")
@@ -281,8 +294,10 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # MERGE: avoid broadcasting the banded signature table (see
+    # ngram_jaccard_pairs) — candidates come from a sort-merge equi-join
+    a = banded.alias("a").hint("MERGE")
+    b = banded.alias("b").hint("MERGE")
     cand = (
         a.join(
             b,
@@ -461,7 +476,7 @@ def simhash_buckets(
             )
         ).alias("c"),
     ).select("id", "sim", "c.chunk_idx", "c.chunk")
-    a, b = chunks.alias("a"), chunks.alias("b")
+    a, b = chunks.alias("a").hint("MERGE"), chunks.alias("b").hint("MERGE")
     pairs = (
         a.join(
             b,
