@@ -939,6 +939,91 @@ FROM toks GROUP BY doc_id
 """
 
 
+def q_docs_repetition(spark, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals (type/token ratio, top
+    token/bigram fractions) — per-doc folds, no shuffle."""
+    from layout_parser_spark.operators.text_analysis import repetition_stats
+
+    d = _t(spark, sf, "documents")
+    toksd = d.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+    stats = repetition_stats(F.col("_toks"))
+    return toksd.select(
+        "doc_id", *[c.alias(n) for n, c in stats.items()]
+    )
+
+
+SQL_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), base AS (
+  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT tok) AS d
+  FROM toks GROUP BY doc_id
+), tcnt AS (
+  SELECT doc_id, MAX(c) AS mx FROM (
+    SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+), bg AS (
+  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS g
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), bcnt AS (
+  SELECT doc_id, MAX(c) AS mb FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM bg WHERE g IS NOT NULL
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       ROUND(b.d * 1.0 / GREATEST(b.n, 1), 6) AS distinct_ratio,
+       ROUND(t.mx * 1.0 / GREATEST(b.n, 1), 6) AS top_token_frac,
+       ROUND(COALESCE(bc.mb, 0) * 1.0 / GREATEST(b.n - 1, 1), 6)
+         AS top_bigram_frac
+FROM base b
+JOIN tcnt t USING (doc_id)
+LEFT JOIN bcnt bc USING (doc_id)
+"""
+
+
+def q_decontaminate(spark, sf: str) -> DataFrame:
+    """Benchmark decontamination: train docs flagged by n-gram overlap
+    with the (deterministically chosen) eval subset.  n=3 here because the
+    synthetic docs are ~54 tokens; production uses the standard 13."""
+    from layout_parser_spark.operators.dedup import ngram_overlap_counts
+
+    d = _t(spark, sf, "documents")
+    ev = d.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+    tr = d.where(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+    return ngram_overlap_counts(tr, ev, n=3)
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), sh AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE g IS NOT NULL
+), ev AS (
+  SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0
+), tr AS (
+  SELECT doc_id, g FROM sh WHERE doc_id % 97 != 0
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n_overlap FROM tr JOIN ev USING (g)
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       COALESCE(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 97 != 0
+"""
+
+
 def q_multimodal_meta(spark, sf: str) -> DataFrame:
     """Opaque-binary handling: metadata of a binary payload column."""
     d = _t(spark, sf, "documents").withColumn(
@@ -1180,6 +1265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": q_docs_lang_id,
         "docs_quality": q_docs_quality,
         "docs_fingerprint": q_docs_fingerprint,
+        "docs_repetition": q_docs_repetition,
+        "decontaminate": q_decontaminate,
         "multimodal_meta": q_multimodal_meta,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
@@ -1212,6 +1299,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_id": _sql_lang_id(),
         "docs_quality": SQL_QUALITY,
         "docs_fingerprint": SQL_FINGERPRINT,
+        "docs_repetition": SQL_REPETITION,
+        "decontaminate": SQL_DECONTAMINATE,
         "multimodal_meta": SQL_MULTIMODAL,
         "dedup_embedding_cosine": SQL_EMB_DEDUP,
         "corpus_filter_pipeline": _sql_corpus_pipeline(),

@@ -499,3 +499,41 @@ def simhash_buckets(
         )
     )
     return pairs.select("id_a", "id_b", "hamming")
+
+
+def ngram_overlap_counts(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: per TRAIN document, the number of
+    distinct word n-grams it shares with ANY eval document (the standard
+    13-gram test-set-overlap rule; n is configurable for short-document
+    corpora).  Returns every train doc: (id, n_overlap, contaminated).
+
+    Shape: both sides shingle once; the eval side deduplicates to distinct
+    grams (eval sets are small → Spark broadcasts it); one equi-join on
+    the gram, then a left join back so clean docs report 0.  No cross
+    join anywhere."""
+    tr = _staged_shingles(train, text_col, id_col, n)
+    ev = _staged_shingles(eval_df, text_col, id_col, n)
+    tr_sh = tr.select("id", F.explode("_sh").alias("g"))
+    ev_sh = ev.select(F.explode("_sh").alias("g")).distinct()
+    hits = (
+        tr_sh.join(ev_sh, on="g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    ids = train.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(hits, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

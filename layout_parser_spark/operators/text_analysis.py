@@ -94,3 +94,62 @@ def doc_fingerprint(text: Column) -> Column:
         F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x),
         F.lit(2147483647).cast("long"),
     )
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal consecutive elements in a SORTED array — the
+    per-document mode count, computed by one fold (no explode/shuffle)."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(
+            acc["prev"].isNull() | (acc["prev"] != x), F.lit(1)
+        ).otherwise(acc["run"] + 1)
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, acc0, step, lambda a: a["best"])
+
+
+def repetition_stats(toks: Column) -> "dict[str, Column]":
+    """Gopher-style repetition quality signals from a TOKEN ARRAY
+    attribute (stage split() first — see shingles_from_tokens contract):
+
+    * ``distinct_ratio`` — type/token ratio,
+    * ``top_token_frac`` — fraction of tokens that are the single most
+      frequent token,
+    * ``top_bigram_frac`` — fraction of bigrams that are the most
+      frequent bigram.
+
+    All per-document folds over sorted arrays; no explode, no shuffle —
+    the map-side shape that survives 10^12 docs (the published Gopher/C4
+    repetition rules are thresholds over exactly these fractions)."""
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(1))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # zip_with pads the shorter side with null → drop the tail pair
+    bigrams = F.slice(bigrams, 1, F.greatest(n - 1, F.lit(0)))
+    return {
+        "n_tokens": n.cast("long"),
+        "distinct_ratio": F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 6
+        ),
+        "top_token_frac": F.round(
+            _max_run(F.array_sort(toks)) / F.greatest(n, F.lit(1)), 6
+        ),
+        "top_bigram_frac": F.round(
+            _max_run(F.array_sort(bigrams))
+            / F.greatest(n - 1, F.lit(1)),
+            6,
+        ),
+    }

@@ -258,11 +258,15 @@ class _FastParser:
                 self._endtag(tag)
 
 
-def parse_page_arrays(html: str):
+def parse_page_arrays(html: str, parser_cls=None):
     """Parse one page → (page_w, page_h, column lists).  The flat-array
-    twin of ``parse_page`` used by the hot path (see ``segment_pages``),
-    on the fast tokenizer."""
-    p = _FastParser()
+    twin of ``parse_page`` used by the hot path (see ``segment_pages``).
+    ``parser_cls`` selects the tokenizer: the default fast tag tokenizer,
+    or ``_SegmentParser`` (html.parser — the reference implementation,
+    also selectable via ``LPS_SEGMENT_IMPL=htmlparser`` for the scaling
+    bench's compute-dense config); both emit identical events (equivalence
+    pinned by tests/test_extract.py)."""
+    p = (parser_cls or _FastParser)()
     p.feed(html)
     x1, y1, x2, y2 = [], [], [], []
     texts, types, parents, scores = [], [], [], []
@@ -319,6 +323,17 @@ def segment_pages_arrays(pages_df, html_col: str = "html") -> "DataFrame":
     )
     names = [f.name for f in passthrough]
 
+    # resolved on the DRIVER and captured by the closure (executor env is
+    # not guaranteed): the html.parser reference implementation is
+    # selectable for the scaling bench's compute-dense config
+    import os as _os
+
+    parser_cls = (
+        _SegmentParser
+        if _os.environ.get("LPS_SEGMENT_IMPL", "").lower() == "htmlparser"
+        else _FastParser
+    )
+
     def gen(batches):
         for pdf in batches:
             cols = {n: [] for n, _ in _ARRAY_COLS}
@@ -332,7 +347,7 @@ def segment_pages_arrays(pages_df, html_col: str = "html") -> "DataFrame":
                     continue
                 if isinstance(payload, (bytes, bytearray)):
                     payload = payload.decode("utf-8", errors="replace")
-                w, h, arrs = parse_page_arrays(payload)
+                w, h, arrs = parse_page_arrays(payload, parser_cls)
                 ws.append(w)
                 hs.append(h)
                 for (n, _t), arr in zip(_ARRAY_COLS, arrs):
