@@ -183,3 +183,185 @@ def group_blocks_by_category(
     return agg.withColumn("group_order", F.row_number().over(w) - 1).drop(
         "_first_pos"
     )
+
+
+def detect_lines_distributed(
+    df: DataFrame,
+    key_cols: List[str],
+    id_col: str = "block_id",
+    x_tolerance: float = 10,
+    y_tolerance: float = 10,
+    max_iter: int = 20,
+    x1="x_1", y1="y_1", x2="x_2", y2="y_2",
+) -> DataFrame:
+    """Line detection for documents whose block count EXPLODES past the
+    per-document-Python granularity (the SURVEY §2.5 scale variant):
+    pure-relational connected components, never materializing the O(n²)
+    score matrix.
+
+    * candidate edges by y-banding: each block lands in grid bands
+      ``floor(yc/eff_y_tol)`` and that+1, so any pair within the center-y
+      tolerance shares a band — an equi-join on (doc, band), with the
+      exact predicate (including the reference's tolerance SWAP,
+      shape_operations.py:126-130) as the join filter;
+    * components by min-label propagation with pointer doubling: labels
+      start as the block id; each round every node takes the min label in
+      its neighborhood and EDGES CONTRACT onto current labels, so chains
+      collapse geometrically (O(log n) rounds in practice, ``max_iter``
+      bound + early stop on a converged round);
+    * aggregate per component = union-reduce (min/max corners) + count,
+      line_id = rank of the component's first block id per document.
+
+    Output: key_cols + (line_id, x_1, y_1, x_2, y_2, n_tokens) — the same
+    contract as ``detect_lines``; equality with the per-document kernel is
+    pinned by tests."""
+    eff_y_tol, eff_x_tol = x_tolerance, y_tolerance  # reference swap
+    keys = [F.col(c) for c in key_cols]
+
+    base = df.select(
+        *key_cols,
+        F.col(id_col).alias("bid"),
+        F.col(x1).alias("bx1"),
+        F.col(y1).alias("by1"),
+        F.col(x2).alias("bx2"),
+        F.col(y2).alias("by2"),
+        ((F.col(y1) + F.col(y2)) / 2.0).alias("yc"),
+    )
+    band = F.floor(F.col("yc") / F.lit(float(eff_y_tol))).cast("long")
+    banded = base.select(
+        *key_cols, "bid", "bx1", "by1", "bx2", "by2", "yc",
+        F.explode(F.array(band, band + 1)).alias("_band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    join_cond = (F.col("a._band") == F.col("b._band")) & (
+        F.col("a.bid") < F.col("b.bid")
+    )
+    for c in key_cols:
+        join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    close = (
+        (F.abs(F.col("a.yc") - F.col("b.yc")) <= F.lit(float(eff_y_tol)))
+        & (
+            F.least(
+                F.abs(F.col("a.bx1") - F.col("b.bx2")),
+                F.abs(F.col("a.bx2") - F.col("b.bx1")),
+            )
+            <= F.lit(float(eff_x_tol))
+        )
+    )
+    edges = (
+        a.hint("MERGE")
+        .join(b.hint("MERGE"), join_cond)
+        .where(close)
+        .select(
+            *[F.col(f"a.{c}") for c in key_cols],
+            F.col("a.bid").alias("u"),
+            F.col("b.bid").alias("v"),
+        )
+        .dropDuplicates(key_cols + ["u", "v"])
+    )
+
+    # min-label propagation with contraction + pointer doubling.  The
+    # plain one-hop variant moves a min label one edge per round (O(n)
+    # rounds on a chain — useless); composing L := L∘L each round doubles
+    # the propagation distance → O(log n) rounds.  Every round's outputs
+    # are localCheckpoint'ed BEFORE reuse so the lineage (and scheduler
+    # cost) stays constant per round.
+    labels = base.select(*key_cols, F.col("bid"), F.col("bid").alias("lbl"))
+    cur_edges = edges.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # 1-hop: neighborhood minimum (undirected)
+        nbr = cur_edges.select(
+            *key_cols, F.col("u").alias("bid"), F.col("v").alias("nl")
+        ).unionByName(
+            cur_edges.select(
+                *key_cols, F.col("v").alias("bid"), F.col("u").alias("nl")
+            )
+        )
+        new_labels = (
+            labels.join(nbr, on=key_cols + ["bid"], how="left")
+            .groupBy(*key_cols, "bid")
+            .agg(F.least(F.min("lbl"), F.min("nl")).alias("lbl"))
+        )
+        # pointer doubling: lbl := lbl(lbl)
+        ptr = new_labels.select(
+            *key_cols, F.col("bid").alias("lbl"), F.col("lbl").alias("_l2")
+        )
+        new_labels = (
+            new_labels.join(ptr, on=key_cols + ["lbl"], how="left")
+            .select(
+                *key_cols,
+                "bid",
+                F.coalesce(F.col("_l2"), F.col("lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # contract edges onto the (checkpointed) labels
+        lu = new_labels.select(
+            *key_cols, F.col("bid").alias("u"), F.col("lbl").alias("lu")
+        )
+        lv = new_labels.select(
+            *key_cols, F.col("bid").alias("v"), F.col("lbl").alias("lv")
+        )
+        contracted = (
+            cur_edges.join(lu, on=key_cols + ["u"])
+            .join(lv, on=key_cols + ["v"])
+            .where(F.col("lu") != F.col("lv"))
+            .select(
+                *key_cols,
+                F.least("lu", "lv").alias("u"),
+                F.greatest("lu", "lv").alias("v"),
+            )
+            .dropDuplicates(key_cols + ["u", "v"])
+            .localCheckpoint(eager=True)
+        )
+        remaining = contracted.count()  # driver scalar per round, by design
+        labels = new_labels
+        cur_edges = contracted
+        if remaining == 0:
+            break
+
+    # resolve label chains by pointer jumping: a leaf's label may point at
+    # a representative whose own label kept dropping during contraction —
+    # substitute lbl := label(lbl) with doubling until fixpoint
+    for _ in range(max_iter):
+        ptr = labels.select(
+            *key_cols, F.col("bid").alias("lbl"), F.col("lbl").alias("_lbl2")
+        )
+        jumped = (
+            labels.join(ptr, on=key_cols + ["lbl"], how="left")
+            .select(
+                *key_cols,
+                "bid",
+                F.coalesce(F.col("_lbl2"), F.col("lbl")).alias("lbl"),
+                (F.coalesce(F.col("_lbl2"), F.col("lbl")) != F.col("lbl"))
+                .cast("int")
+                .alias("_chg"),
+            )
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = jumped.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels = jumped.drop("_chg")
+        if changed == 0:
+            break
+
+    joined = base.join(
+        labels.select(*key_cols, "bid", "lbl"), on=key_cols + ["bid"]
+    )
+    comp = joined.groupBy(*key_cols, "lbl").agg(
+        F.min("bx1").alias("x_1"),
+        F.min("by1").alias("y_1"),
+        F.max("bx2").alias("x_2"),
+        F.max("by2").alias("y_2"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.min("bid").alias("_first"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy("_first")
+    return (
+        comp.withColumn("line_id", F.row_number().over(w) - 1)
+        .select(
+            *key_cols, "line_id", "x_1", "y_1", "x_2", "y_2",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+        )
+    )

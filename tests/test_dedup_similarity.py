@@ -182,3 +182,51 @@ def test_embedding_near_dup_lsh_path_recall(spark):
     assert recall >= 0.5, (recall, len(exact), len(approx))
     for k, v in approx.items():
         assert k in exact and abs(exact[k] - v) < 1e-9
+
+
+def test_detect_lines_distributed_equals_local(spark):
+    """The pure-relational CCA (banded candidate join + min-label
+    propagation) must produce exactly the per-document kernel's lines —
+    same boxes, counts, AND line_id order."""
+    from layout_parser_spark.operators.grouping import (
+        detect_lines_distributed,
+        detect_lines_local,
+    )
+
+    # deterministic corpus: several docs, multi-row word grids with
+    # varying gaps (some above tolerance), plus chained overlaps that make
+    # label propagation actually iterate
+    rows = []
+    for doc in range(6):
+        boxes = []
+        for r in range(4):
+            for i in range(20):
+                x = i * (12.0 + (r % 3))  # gap 12/13/14 vs eff_x_tol=10
+                y = r * 30.0 + doc
+                boxes.append((x, y, x + 10.0, y + 10.0))
+        # a long chain on one line: 60 adjacent tokens
+        for i in range(60):
+            boxes.append((i * 15.0, 200.0 + doc, i * 15.0 + 10.0, 210.0 + doc))
+        rows.extend(
+            (doc, bid, *b) for bid, b in enumerate(boxes)
+        )
+    df = spark.createDataFrame(
+        rows, "doc_id long, block_id long, x_1 double, y_1 double, "
+              "x_2 double, y_2 double"
+    )
+    got = detect_lines_distributed(
+        df, ["doc_id"], id_col="block_id", x_tolerance=10, y_tolerance=10
+    ).collect()
+
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r[0], []).append(tuple(r[2:]))
+    expected = {}
+    for doc, boxes in by_doc.items():
+        for li, u in enumerate(detect_lines_local(boxes, 10, 10)):
+            expected[(doc, li)] = u
+    got_map = {(r.doc_id, r.line_id): (r.x_1, r.y_1, r.x_2, r.y_2) for r in got}
+    assert got_map == expected
+    # token counts: chain line has 60
+    counts = {(r.doc_id, r.line_id): r.n_tokens for r in got}
+    assert max(counts.values()) == 60
