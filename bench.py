@@ -117,6 +117,8 @@ def main():
         "docs_token_stats",
         "docs_lang_id",
         "docs_fingerprint",
+        "docs_repetition",
+        "decontaminate",
         "ann_cosine_topk",
         "geom_rect_algebra",
         "geom_is_in_join",
