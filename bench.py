@@ -97,8 +97,14 @@ def main():
 
     results = {}
 
-    # warm up the JVM + python workers on a tiny slice
-    spark.read.parquet(pages_dir).limit(64).count()
+    # warm up the JVM + python workers on a tiny slice — THROUGH the
+    # Arrow UDF pipeline (a bare count never spawns the python workers,
+    # so the first timed run would pay worker+Arrow startup)
+    from layout_parser_spark.plans import extract_main_text as _emt
+
+    _emt(spark.read.parquet(pages_dir).limit(256)).agg(
+        F.count(F.lit(1))
+    ).collect()
 
     ext_sec, n_docs, n_bytes = run_extraction(spark, pages_dir)
     results["extract_main_text"] = round(ext_sec, 3)
