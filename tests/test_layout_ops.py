@@ -91,3 +91,41 @@ def test_explode_blocks(spark):
     assert {r["block"]["block_type"] for r in rows} == {
         "interval", "quadrilateral", "rectangle"
     }
+
+
+def test_slice_and_index_match_python_semantics(spark):
+    """slice_blocks / block_at mirror Layout.__getitem__ (layout.py:68-96):
+    0-based python slicing over the block array."""
+    from layout_parser_spark import schema as S
+    from layout_parser_spark.operators.layout_ops import (
+        block_at,
+        concat_layouts,
+        slice_blocks,
+    )
+    from pyspark.sql import functions as F
+
+    blocks = F.array(
+        *[
+            S.rectangle(float(i), 0.0, float(i) + 1.0, 1.0, text=f"b{i}")
+            for i in range(5)
+        ]
+    )
+    row = (
+        spark.range(1)
+        .select(blocks.alias("blocks"))
+        .select(
+            F.transform(
+                slice_blocks(F.col("blocks"), 1, 3), lambda b: b["text"]
+            ).alias("mid"),
+            block_at(F.col("blocks"), 0)["text"].alias("first"),
+            block_at(F.col("blocks"), 4)["text"].alias("last"),
+            F.size(
+                concat_layouts(F.col("blocks"), F.col("blocks"))
+            ).alias("doubled"),
+        )
+        .collect()[0]
+    )
+    texts = [f"b{i}" for i in range(5)]
+    assert row.mid == texts[1:4]          # python blocks[1:1+3]
+    assert row.first == "b0" and row.last == "b4"
+    assert row.doubled == 10
