@@ -1086,6 +1086,64 @@ WHERE list_dot_product(a.v, b.v)
 """
 
 
+def q_dedup_embedding_lsh(spark, sf: str) -> DataFrame:
+    """The UNBLOCKED embedding near-dup path: multi-table random-
+    hyperplane LSH candidates + exact-cosine verify (operators/dedup.py).
+    Value-verified — the hyperplanes are literal float arrays shared with
+    the oracle SQL."""
+    from layout_parser_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf, "embeddings"),
+        threshold=0.3,
+        block_col=None,
+        dim=64,
+        n_planes=6,
+        n_tables=4,
+    )
+
+
+def _sql_dedup_embedding_lsh(
+    dim=64, threshold=0.3, n_planes=6, n_tables=4
+) -> str:
+    from layout_parser_spark.operators.similarity import hyperplane_components
+
+    def sig_expr(vcol, tbl):
+        terms = []
+        for p in range(n_planes):
+            comps = hyperplane_components(dim, tbl * n_planes + p)
+            lit = "[" + ", ".join(repr(c) for c in comps) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vcol}, {lit}) > 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        return "\n       + ".join(terms)
+
+    tables = "\n  UNION ALL\n".join(
+        f"  SELECT {t} AS tbl, id, v,\n         {sig_expr('v', t)} AS sig"
+        f"\n  FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (
+{tables}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.tbl = b.tbl AND a.sig = b.sig AND a.id < b.id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(ea.v, eb.v)
+           / (sqrt(list_dot_product(ea.v, ea.v))
+              * sqrt(list_dot_product(eb.v, eb.v))) AS cs
+  FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b
+)
+SELECT id_a, id_b, ROUND(cs, 6) AS cosine_sim
+FROM scored WHERE ROUND(cs, 6) >= {threshold}
+"""
+
+
 def q_corpus_filter_pipeline(spark, sf: str) -> DataFrame:
     """End-to-end training-data filter composition: quality gate + lang-ID
     gate + exact dedup, then per-source corpus stats — the canonical
@@ -1271,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "multimodal_meta": q_multimodal_meta,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -1305,6 +1364,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": SQL_DECONTAMINATE,
         "multimodal_meta": SQL_MULTIMODAL,
         "dedup_embedding_cosine": SQL_EMB_DEDUP,
+        "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
         "corpus_filter_pipeline": _sql_corpus_pipeline(),
         "ann_cosine_topk": SQL_ANN,
         "ann_ivf": SQL_ANN_IVF,
