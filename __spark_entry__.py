@@ -1292,6 +1292,24 @@ def q_ann_ivf(spark, sf: str) -> DataFrame:
 SQL_ANN_IVF = SQL_ANN
 
 
+def q_ann_ivf_kmeans(spark, sf: str) -> DataFrame:
+    """IVF with TRAINED centroids (deterministic DataFrame-native Lloyd's
+    k-means, similarity.kmeans_centroids); full probe ⇒ exhaustive ⇒
+    exact answer, so the brute-force SQL is its oracle while the k-means
+    iterations + trained assignment actually execute."""
+    from layout_parser_spark.operators.similarity import kmeans_centroids
+
+    v, q = _queries_df(spark, sf)
+    cents = kmeans_centroids(v, nlist=8, dim=64, iters=3)
+    out = ivf_topk(v, q, k=5, nlist=8, nprobe=8, centroids=cents)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "cosine_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1334,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
     }
 
 
@@ -1368,6 +1387,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter_pipeline": _sql_corpus_pipeline(),
         "ann_cosine_topk": SQL_ANN,
         "ann_ivf": SQL_ANN_IVF,
+        "ann_ivf_kmeans": SQL_ANN,
         "minhash_lsh": _sql_minhash_lsh(),
         "simhash_buckets": _sql_simhash_buckets(),
         "ann_lsh": _sql_ann_lsh(),

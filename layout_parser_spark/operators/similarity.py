@@ -145,33 +145,16 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
+def assign_to_centroids(
     vectors: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    nlist: int = 16,
-    nprobe: int = 4,
+    centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    qid_col: str = "query_id",
-    qvec_col: str = "query_vec",
 ) -> DataFrame:
-    """IVF-style ANN without trained centroids: the NLIST vectors with the
-    smallest ids serve as deterministic coarse centroids.  Every vector is
-    assigned to its nearest centroid (one broadcast join); each query
-    probes its NPROBE nearest lists.  Exact cosine re-rank within probed
-    lists."""
-    centroids = (
-        vectors.orderBy(F.col(id_col).asc())
-        .limit(nlist)
-        .select(
-            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
-        )
-    )
-    # assign vectors to nearest centroid SHUFFLE-FREE: broadcast ONE row
-    # holding the (sorted) centroid array, argmax by a fold — the per-
-    # vector row_number window this replaces exploded n×nlist rows and
-    # shuffled them on vec_id, the wrong shape at 10^9 vectors.
+    """Nearest-centroid assignment SHUFFLE-FREE: broadcast ONE row holding
+    the (sorted) centroid array, argmax by a fold — replaces the
+    explode-n×nlist-rows + per-vector row_number window, the wrong shape
+    at 10^9 vectors.  Output: (id_col, vec_col, c_id, c_sim)."""
     cent_row = centroids.agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("c_id"), F.col("c_vec")))
@@ -198,7 +181,7 @@ def ivf_topk(
             ).otherwise(acc),
         )
 
-    assigned = (
+    return (
         vectors.crossJoin(F.broadcast(cent_row))
         .withColumn("_best", _best(F.col(vec_col), F.col("_cents")))
         .select(
@@ -208,6 +191,75 @@ def ivf_topk(
             F.col("_best.s").alias("c_sim"),
         )
     )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    nlist: int,
+    dim: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means as pure DataFrame iterations (the
+    trained-centroid path for IVF): init = the nlist smallest-id vectors
+    (no RNG state), each round assigns via the broadcast argmax fold and
+    recomputes centroids as element-wise means (dim known → one avg
+    aggregate per component, plain map-side-combined groupBy); clusters
+    that empty out keep their previous centroid.  Output (c_id, c_vec)."""
+    cents = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(nlist)
+        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = assign_to_centroids(vectors, cents, id_col, vec_col)
+        means = assigned.groupBy("c_id").agg(
+            F.array(
+                *[
+                    F.avg(F.element_at(F.col(vec_col), i + 1))
+                    for i in range(dim)
+                ]
+            ).alias("_mean")
+        )
+        cents = (
+            cents.join(means, on="c_id", how="left")
+            .select(
+                "c_id",
+                F.coalesce(F.col("_mean"), F.col("c_vec")).alias("c_vec"),
+            )
+            .localCheckpoint(eager=True)  # constant lineage per round
+        )
+    return cents
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF ANN: coarse centroids are either supplied (``kmeans_centroids``
+    for trained lists), or default to the NLIST smallest-id vectors
+    (k-means-free, deterministic).  Every vector is assigned to its
+    nearest centroid (broadcast argmax fold); each query probes its
+    NPROBE nearest lists.  Exact cosine re-rank within probed lists."""
+    if centroids is None:
+        centroids = (
+            vectors.orderBy(F.col(id_col).asc())
+            .limit(nlist)
+            .select(
+                F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+            )
+        )
+    assigned = assign_to_centroids(vectors, centroids, id_col, vec_col)
     # queries probe nprobe nearest lists
     qc = queries.crossJoin(F.broadcast(centroids)).select(
         qid_col,

@@ -230,3 +230,47 @@ def test_detect_lines_distributed_equals_local(spark):
     # token counts: chain line has 60
     counts = {(r.doc_id, r.line_id): r.n_tokens for r in got}
     assert max(counts.values()) == 60
+
+
+def test_kmeans_centroids_deterministic_and_improving(spark):
+    """DataFrame-native Lloyd's k-means: deterministic across runs, and
+    mean distortion (cosine to assigned centroid) does not decrease with
+    iterations; full-probe IVF over trained centroids stays exact."""
+    from layout_parser_spark.operators.similarity import (
+        assign_to_centroids,
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    v = emb.where("vec_id >= 2")
+
+    def mean_sim(cents):
+        return (
+            assign_to_centroids(v, cents)
+            .agg(F.avg("c_sim"))
+            .collect()[0][0]
+        )
+
+    c0 = kmeans_centroids(v, nlist=8, dim=64, iters=0)
+    c3 = kmeans_centroids(v, nlist=8, dim=64, iters=3)
+    c3b = kmeans_centroids(v, nlist=8, dim=64, iters=3)
+    # determinism: identical centroids bit-for-bit
+    rows_a = sorted((r.c_id, tuple(r.c_vec)) for r in c3.collect())
+    rows_b = sorted((r.c_id, tuple(r.c_vec)) for r in c3b.collect())
+    assert rows_a == rows_b
+    # training improves (or at least never worsens) assignment similarity
+    assert mean_sim(c3) >= mean_sim(c0) - 1e-9
+
+    # full probe with trained centroids is still the exact answer
+    q = emb.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.rank): r.vec_id for r in cosine_topk(v, q, k=5).collect()}
+    ivf = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf_topk(v, q, k=5, nlist=8, nprobe=8, centroids=c3).collect()
+    }
+    assert exact == ivf
