@@ -294,6 +294,45 @@ def extract_image_features(
     return df.mapInPandas(gen, schema=schema)
 
 
+def warp_perspective(
+    img: np.ndarray, M: np.ndarray, out_w: int, out_h: int
+) -> np.ndarray:
+    """Numpy twin of cv2.warpPerspective(img, M, (w, h)) with bilinear
+    sampling and constant-0 border — inverse-maps every output pixel
+    through M⁻¹ fully vectorized."""
+    Minv = np.linalg.inv(M)
+    xs, ys = np.meshgrid(np.arange(out_w), np.arange(out_h))
+    pts = np.stack(
+        [xs.reshape(-1), ys.reshape(-1), np.ones(out_w * out_h)]
+    )
+    src = Minv @ pts
+    sx = src[0] / src[2]
+    sy = src[1] / src[2]
+    h, w = img.shape[:2]
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = (sx - x0)[:, None]
+    fy = (sy - y0)[:, None]
+
+    def pix(yy, xx):
+        valid = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+        out = np.zeros((xx.shape[0], img.shape[2]))
+        out[valid] = img[yy[valid], xx[valid]]
+        return out
+
+    val = (
+        pix(y0, x0) * (1 - fx) * (1 - fy)
+        + pix(y0, x0 + 1) * fx * (1 - fy)
+        + pix(y0 + 1, x0) * (1 - fx) * fy
+        + pix(y0 + 1, x0 + 1) * fx * fy
+    )
+    return (
+        np.clip(np.rint(val), 0, 255)
+        .astype(np.uint8)
+        .reshape(out_h, out_w, img.shape[2])
+    )
+
+
 CROP_SCHEMA_FIELDS = [
     StructField("block_id", IntegerType(), True),
     StructField("crop_w", IntegerType(), True),
@@ -308,11 +347,14 @@ def crop_image_blocks(
     blocks_col: str = "blocks",
     key_cols: tuple = ("url",),
 ) -> DataFrame:
-    """Distributed ``crop_image`` (reference layout_elements.py:443-445,
-    764-766: ``img[int(y_1):int(y_2), int(x_1):int(x_2)]``; quads crop
-    their bounding rectangle): one output row per (document, block) with
-    the cropped pixels re-encoded as PPM.  Decode+slice+encode run inside
-    one mapInPandas stage; only the (small) crops cross back."""
+    """Distributed ``crop_image``: rectangles/intervals slice
+    ``img[int(y_1):int(y_2), int(x_1):int(x_2)]`` (reference
+    layout_elements.py:443-445, 764-766); quadrilaterals WARP by the
+    quad's perspective matrix to an (int(width), int(height)) canvas
+    (reference :1104-1117, cv2.warpPerspective — here the numpy twin with
+    bilinear sampling; a degenerate quad falls back to its bbox crop).
+    One output row per (document, block), cropped pixels re-encoded as
+    PPM; decode+crop+encode run inside one mapInPandas stage."""
     key_fields = [df.schema[c] for c in key_cols]
     schema = StructType(list(key_fields) + CROP_SCHEMA_FIELDS)
 
@@ -331,23 +373,45 @@ def crop_image_blocks(
                 for b in blks:
                     bd = b if isinstance(b, dict) else b.asDict()
                     pts = bd.get("points")
+                    crop = None
                     if (
                         bd.get("block_type") == "quadrilateral"
                         and pts is not None
                         and len(pts) == 8
                     ):
-                        xs = list(pts[0::2])
-                        ys = list(pts[1::2])
-                        x1, y1, x2, y2 = min(xs), min(ys), max(xs), max(ys)
+                        from ..functions.perspective import (
+                            _mapped_rectangle_points,
+                            get_perspective_matrix,
+                        )
+
+                        qpts = np.asarray(pts, dtype="float64").reshape(4, 2)
+                        xs, ys = qpts[:, 0], qpts[:, 1]
+                        qw = float(xs.max() - xs.min())
+                        qh = float(ys.max() - ys.min())
+                        try:
+                            dst = _mapped_rectangle_points(qpts, qw, qh)
+                            M = get_perspective_matrix(qpts, dst)
+                            if int(qw) > 0 and int(qh) > 0:
+                                crop = warp_perspective(
+                                    arr, M, int(qw), int(qh)
+                                )
+                            else:
+                                crop = arr[0:0, 0:0]
+                        except np.linalg.LinAlgError:
+                            crop = None  # degenerate quad → bbox below
+                        x1, y1, x2, y2 = (
+                            xs.min(), ys.min(), xs.max(), ys.max()
+                        )
                     else:
                         x1, y1 = bd.get("x_1") or 0, bd.get("y_1") or 0
                         x2, y2 = bd.get("x_2") or 0, bd.get("y_2") or 0
-                    # reference slices with raw int() coords; numpy clamps
-                    # negative/overflow indices the same way cv2 images do
-                    crop = arr[
-                        max(0, int(y1)) : max(0, min(h, int(y2))),
-                        max(0, int(x1)) : max(0, min(w, int(x2))),
-                    ]
+                    if crop is None:
+                        # reference slices with raw int() coords; numpy
+                        # clamps negative/overflow indices like cv2 images
+                        crop = arr[
+                            max(0, int(y1)) : max(0, min(h, int(y2))),
+                            max(0, int(x1)) : max(0, min(w, int(x2))),
+                        ]
                     recs.append(
                         tuple(row[c] for c in key_cols)
                         + (

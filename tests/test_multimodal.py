@@ -78,12 +78,17 @@ def test_crop_image_blocks_distributed(spark):
     blocks = [
         {"block_type": "rectangle", "x_1": 5.0, "y_1": 10.0, "x_2": 25.0,
          "y_2": 30.0, "id": 0},
-        # quad crops its bounding rectangle (reference :1104-1117)
+        # axis-aligned quad: the perspective warp (reference :1104-1117,
+        # cv2.warpPerspective by the quad's matrix) degenerates to a pure
+        # translation → pixel-identical to the bbox slice
         {"block_type": "quadrilateral",
-         "points": [30.0, 2.0, 50.0, 4.0, 52.0, 20.0, 31.0, 18.0], "id": 1},
+         "points": [30.0, 2.0, 52.0, 2.0, 52.0, 20.0, 30.0, 20.0], "id": 1},
         # out-of-canvas coords clamp like numpy slicing on the reference
         {"block_type": "rectangle", "x_1": -5.0, "y_1": 35.0, "x_2": 999.0,
          "y_2": 999.0, "id": 2},
+        # skewed quad: warped onto an (int(w), int(h)) canvas
+        {"block_type": "quadrilateral",
+         "points": [30.0, 2.0, 50.0, 4.0, 52.0, 20.0, 31.0, 18.0], "id": 3},
     ]
     from layout_parser_spark.schema import TEXTBLOCK
 
@@ -101,7 +106,7 @@ def test_crop_image_blocks_distributed(spark):
         ]),
     )
     out = {r.block_id: r for r in crop_image_blocks(df).collect()}
-    assert set(out) == {0, 1, 2}
+    assert set(out) == {0, 1, 2, 3}
     c0 = decode_pixels(bytes(out[0].crop))
     assert np.array_equal(c0, arr[10:30, 5:25])
     assert (out[0].crop_w, out[0].crop_h) == (20, 20)
@@ -109,6 +114,11 @@ def test_crop_image_blocks_distributed(spark):
     assert np.array_equal(c1, arr[2:20, 30:52])
     c2 = decode_pixels(bytes(out[2].crop))
     assert np.array_equal(c2, arr[35:40, 0:60])
+    # skewed quad: bbox-extent canvas, corner pixel maps from the quad's
+    # first point (30, 2)
+    c3 = decode_pixels(bytes(out[3].crop))
+    assert (out[3].crop_w, out[3].crop_h) == (22, 18)
+    assert np.array_equal(c3[0, 0], arr[2, 30])
 
 
 def test_media_metadata_and_features(spark):
