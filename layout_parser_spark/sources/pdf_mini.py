@@ -217,7 +217,12 @@ class MiniPdf:
             if num not in self._obj_pos:
                 return None
             lex = _Lexer(self.data, self._obj_pos[num])
-            self._cache[num] = lex.parse()
+            try:
+                self._cache[num] = lex.parse()
+            except (ValueError, IndexError):
+                # a malformed object must not fail the whole document —
+                # the distributed path treats it as absent
+                self._cache[num] = None
             self._cache[f"_end{num}"] = lex.pos
         return self._cache[num]
 

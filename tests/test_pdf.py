@@ -76,3 +76,43 @@ def test_mini_extractor_word_geometry():
     for line in multi:
         xs = [wd["x0"] for wd in line]
         assert xs == sorted(xs)  # stream order is left-to-right here
+
+
+def test_pdf_lexer_object_forms():
+    """The mini-PDF object lexer handles the spec's literal forms:
+    escapes, octal, nested parens, hex strings, name #-escapes, refs,
+    dicts/arrays, comments."""
+    from layout_parser_spark.sources.pdf_mini import Name, Ref, _Lexer
+
+    def parse(b):
+        return _Lexer(b).parse()
+
+    assert parse(rb"(simple)") == b"simple"
+    assert parse(rb"(a\(b\)c)") == b"a(b)c"
+    assert parse(rb"(nested (parens) ok)") == b"nested (parens) ok"
+    assert parse(rb"(tab\there)") == b"tab\there"
+    assert parse(rb"(octal \101\102\103)") == b"octal ABC"
+    assert parse(b"(line\\\ncontinues)") == b"linecontinues"
+    assert parse(rb"<48656C6C6F>") == b"Hello"
+    assert parse(rb"<48656C6C6F7>") == b"Hellop"  # odd hex pads with 0
+    assert parse(rb"/Name#20With#20Spaces") == "Name With Spaces"
+    assert isinstance(parse(rb"/Type"), Name)
+    r = parse(rb"12 0 R")
+    assert isinstance(r, Ref) and r.num == 12
+    assert parse(rb"12") == 12 and parse(rb"-3.5") == -3.5
+    assert parse(rb"true") is True and parse(rb"null") is None
+    d = parse(rb"<< /A 1 /B [2 3 0 R (s)] /C << /D true >> >>")
+    assert d["A"] == 1 and d["C"]["D"] is True
+    assert d["B"][0] == 2 and isinstance(d["B"][1], Ref)
+    assert parse(b"% comment\n42") == 42
+
+
+def test_pdf_extractor_tolerates_garbage():
+    """Garbage or truncated payloads yield empty page lists / no tokens,
+    never exceptions (the distributed path must not fail a whole task)."""
+    from layout_parser_spark.sources.pdf_mini import extract_pdf_words
+
+    assert extract_pdf_words(b"not a pdf at all") == []
+    assert extract_pdf_words(b"%PDF-1.3\njunk") == []
+    # a valid header with one malformed object: page tree absent → []
+    assert extract_pdf_words(b"%PDF-1.3\n1 0 obj\n<< /Broken\nendobj") == []
