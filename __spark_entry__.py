@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (31/31): the hash-based family
+Every query has an oracle entry (33/33): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
@@ -991,12 +991,17 @@ def q_decontaminate(spark, sf: str) -> DataFrame:
     """Benchmark decontamination: train docs flagged by n-gram overlap
     with the (deterministically chosen) eval subset.  n=3 here because the
     synthetic docs are ~54 tokens; production uses the standard 13."""
-    from layout_parser_spark.operators.dedup import ngram_overlap_counts
+    from layout_parser_spark.operators.dedup import (
+        ngram_overlap_counts_flagged,
+    )
 
     d = _t(spark, sf, "documents")
-    ev = d.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
-    tr = d.where(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
-    return ngram_overlap_counts(tr, ev, n=3)
+    return ngram_overlap_counts_flagged(
+        d,
+        F.pmod(F.col("doc_id"), F.lit(97)) == 0,
+        n=3,
+        materialize_shingles=True,
+    )
 
 
 SQL_DECONTAMINATE = """

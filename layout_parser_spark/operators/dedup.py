@@ -549,3 +549,41 @@ def ngram_overlap_counts(
             ),
         )
     )
+
+
+def ngram_overlap_counts_flagged(
+    df: DataFrame,
+    is_eval: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    materialize_shingles: bool = False,
+) -> DataFrame:
+    """``ngram_overlap_counts`` for the common single-corpus shape (an
+    eval FLAG instead of two tables): the shingle table derives ONCE and
+    both sides filter it — half the scan+parse of the two-table form, and
+    ``materialize_shingles`` persists that single derivation for its two
+    consumers (the two-pass production shape)."""
+    flagged = df.select(
+        F.col(id_col), F.col(text_col), is_eval.alias("_is_eval")
+    )
+    staged = _staged_shingles(flagged, text_col, id_col, n,
+                              block_col="_is_eval")
+    sh = staged.select("id", "blk", F.explode("_sh").alias("g"))
+    if materialize_shingles:
+        from pyspark.storagelevel import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    ev = sh.where(F.col("blk")).select("g").distinct()
+    tr = sh.where(~F.col("blk")).select("id", "g")
+    hits = (
+        tr.join(ev, on="g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    ids = flagged.where(~F.col("_is_eval")).select(F.col(id_col).alias("id"))
+    return ids.join(hits, on="id", how="left").select(
+        "id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+    )
