@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (33/33): the hash-based family
+Every query has an oracle entry (34/34): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
@@ -374,6 +374,56 @@ SELECT user_id,
                 FILTER (WHERE x1 >= 0 AND x1 + 5.0 <= 500.0), '') AS joined
 FROM b
 GROUP BY user_id
+"""
+
+
+def q_layout_homogenize(spark, sf: str) -> DataFrame:
+    """§2.4 get_homogeneous_blocks: per-document mixed [interval, rect]
+    layouts cast up to the max lattice type (rectangle here — intervals
+    promote to their canvas coordinates)."""
+    od = _t(spark, sf, "orders")
+    start = F.col("o_totalprice") / 1000.0
+    axis = F.when(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0, "x").otherwise(
+        "y"
+    )
+    iv = S.interval(
+        start, start + 5.0, axis, canvas_height=100.0, canvas_width=50.0
+    )
+    rect = S.rectangle(start, 1.0, start + 2.0, 3.0)
+    blocks = F.array(iv, rect)
+    homog = layout_ops.homogenize(blocks)
+    df = od.select("o_orderkey", F.posexplode(homog).alias("pos", "b"))
+    return df.select(
+        "o_orderkey",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("b.block_type").alias("block_type"),
+        F.round(F.col("b.x_1"), 6).alias("x_1"),
+        F.round(F.col("b.y_1"), 6).alias("y_1"),
+        F.round(F.col("b.x_2"), 6).alias("x_2"),
+        F.round(F.col("b.y_2"), 6).alias("y_2"),
+    )
+
+
+SQL_HOMOGENIZE = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice/1000.0 AS s,
+         o_orderkey % 2 = 0 AS is_x
+  FROM orders
+), pair AS (
+  -- pos 0: the interval promoted to rectangle coords on its canvas
+  SELECT o_orderkey, CAST(0 AS BIGINT) AS pos, 'rectangle' AS block_type,
+         ROUND(CASE WHEN is_x THEN s ELSE 0.0 END, 6) AS x_1,
+         ROUND(CASE WHEN is_x THEN 0.0 ELSE s END, 6) AS y_1,
+         ROUND(CASE WHEN is_x THEN s + 5.0 ELSE 50.0 END, 6) AS x_2,
+         ROUND(CASE WHEN is_x THEN 100.0 ELSE s + 5.0 END, 6) AS y_2
+  FROM base
+  UNION ALL
+  -- pos 1: the rectangle, unchanged
+  SELECT o_orderkey, 1, 'rectangle',
+         ROUND(s, 6), 1.0, ROUND(s + 2.0, 6), 3.0
+  FROM base
+)
+SELECT * FROM pair
 """
 
 
@@ -1332,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_is_in_join": q_geom_is_in_join,
         "geom_intersect_union": q_geom_intersect_union,
         "layout_filter_sort_concat": q_layout_filter_sort_concat,
+        "layout_homogenize": q_layout_homogenize,
         "group_by_category": q_group_by_category,
         "ocr_gather_data": q_ocr_gather_data,
         "gcv_fulltext": q_gcv_fulltext,
@@ -1370,6 +1421,7 @@ def oracle_sql() -> dict[str, str]:
         "geom_is_in_join": SQL_GEOM_ISIN,
         "geom_intersect_union": SQL_GEOM_IX,
         "layout_filter_sort_concat": SQL_LAYOUT_FSC,
+        "layout_homogenize": SQL_HOMOGENIZE,
         "group_by_category": SQL_GROUP_CAT,
         "ocr_gather_data": SQL_OCR_GATHER,
         "gcv_fulltext": SQL_GCV,
