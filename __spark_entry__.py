@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (34/34): the hash-based family
+Every query has an oracle entry (35/35): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
@@ -469,6 +469,79 @@ SELECT user_id, type,
        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY first_pos) - 1
             AS BIGINT) AS group_order
 FROM g
+"""
+
+
+def q_detect_lines(spark, sf: str) -> DataFrame:
+    """§2.5 simple_line_detection at scale: the pure-relational CCA
+    (banded candidate equi-join + min-label propagation with pointer
+    doubling, operators/grouping.py) over constructed word boxes; the
+    oracle is a DuckDB recursive-CTE transitive closure."""
+    from layout_parser_spark.operators.grouping import (
+        detect_lines_distributed,
+    )
+
+    ev = _t(spark, sf, "events").where(
+        F.pmod(F.col("event_id"), F.lit(5)) == 0
+    )
+    boxes = ev.select(
+        "user_id",
+        F.col("event_id").alias("block_id"),
+        F.pmod(F.col("value") * 7.0, F.lit(400.0)).alias("x_1"),
+        (F.pmod(F.col("event_id"), F.lit(6)) * 25.0).alias("y_1"),
+        (F.pmod(F.col("value") * 7.0, F.lit(400.0)) + 18.0).alias("x_2"),
+        (F.pmod(F.col("event_id"), F.lit(6)) * 25.0 + 10.0).alias("y_2"),
+    )
+    out = detect_lines_distributed(
+        boxes, ["user_id"], id_col="block_id", x_tolerance=10, y_tolerance=10
+    )
+    return out.select(
+        "user_id",
+        F.col("line_id").cast("long").alias("line_id"),
+        F.round("x_1", 6).alias("x_1"),
+        F.round("y_1", 6).alias("y_1"),
+        F.round("x_2", 6).alias("x_2"),
+        F.round("y_2", 6).alias("y_2"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+SQL_DETECT_LINES = """
+WITH RECURSIVE
+boxes AS (
+  SELECT user_id AS doc, event_id AS id,
+         (value * 7.0) % 400.0 AS x1,
+         ((event_id % 6) * 25.0) AS y1,
+         (value * 7.0) % 400.0 + 18.0 AS x2,
+         ((event_id % 6) * 25.0) + 10.0 AS y2
+  FROM events WHERE event_id % 5 = 0
+), edges AS (
+  SELECT a.doc, a.id AS u, b.id AS v
+  FROM boxes a JOIN boxes b ON a.doc = b.doc AND a.id != b.id
+   AND abs((a.y1+a.y2)/2.0 - (b.y1+b.y2)/2.0) <= 10.0
+   AND least(abs(a.x1 - b.x2), abs(a.x2 - b.x1)) <= 10.0
+), reach(doc, id, lbl) AS (
+  SELECT doc, id, id FROM boxes
+  UNION
+  SELECT e.doc, e.u, r.lbl
+  FROM reach r JOIN edges e ON e.doc = r.doc AND e.v = r.id
+), labels AS (
+  SELECT doc, id, MIN(lbl) AS lbl FROM reach GROUP BY doc, id
+), comps AS (
+  SELECT b.doc, l.lbl,
+         MIN(b.x1) AS x_1, MIN(b.y1) AS y_1,
+         MAX(b.x2) AS x_2, MAX(b.y2) AS y_2,
+         COUNT(*) AS n_tokens, MIN(b.id) AS first_id
+  FROM boxes b JOIN labels l ON l.doc = b.doc AND l.id = b.id
+  GROUP BY b.doc, l.lbl
+)
+SELECT doc AS user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc ORDER BY first_id) - 1
+            AS BIGINT) AS line_id,
+       ROUND(x_1, 6) AS x_1, ROUND(y_1, 6) AS y_1,
+       ROUND(x_2, 6) AS x_2, ROUND(y_2, 6) AS y_2,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM comps
 """
 
 
@@ -1384,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_filter_sort_concat": q_layout_filter_sort_concat,
         "layout_homogenize": q_layout_homogenize,
         "group_by_category": q_group_by_category,
+        "detect_lines": q_detect_lines,
         "ocr_gather_data": q_ocr_gather_data,
         "gcv_fulltext": q_gcv_fulltext,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1423,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         "layout_filter_sort_concat": SQL_LAYOUT_FSC,
         "layout_homogenize": SQL_HOMOGENIZE,
         "group_by_category": SQL_GROUP_CAT,
+        "detect_lines": SQL_DETECT_LINES,
         "ocr_gather_data": SQL_OCR_GATHER,
         "gcv_fulltext": SQL_GCV,
         "agg_pricing_summary": SQL_Q1,
