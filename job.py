@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     ap.add_argument("--input", required=True,
                     help="pages source: parquet path (contains '/') or an "
                          "Iceberg table identifier like lps.db.pages")
+    ap.add_argument("--input-format", default="auto",
+                    choices=["auto", "parquet", "warc", "table"],
+                    help="auto: table id without '/', .warc/.warc.gz glob, "
+                         "else parquet")
     ap.add_argument("--bucket-method", default=None,
                     choices=["xxhash64", "iceberg"],
                     help="resume-bucket hash; 'iceberg' aligns with the "
@@ -61,8 +65,21 @@ def main(argv=None) -> int:
     from layout_parser_spark.sources.iceberg import read_pages
 
     spark = get_spark("lps-extract")
-    pages = read_pages(spark, args.input)
-    is_table = "/" not in args.input
+    fmt = args.input_format
+    if fmt == "auto":
+        if "/" not in args.input:
+            fmt = "table"
+        elif ".warc" in args.input:
+            fmt = "warc"
+        else:
+            fmt = "parquet"
+    if fmt == "warc":
+        from layout_parser_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.input)
+    else:
+        pages = read_pages(spark, args.input)
+    is_table = fmt == "table"
     bucket_method = args.bucket_method or (
         "iceberg" if is_table else "xxhash64"
     )
