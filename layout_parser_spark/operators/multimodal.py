@@ -216,8 +216,8 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
 
 def decode_pixels(payload: bytes) -> Optional[np.ndarray]:
     """Image payload → uint8 pixel array (h, w, 3), or None if the format
-    is not one of the natively-supported simple formats (PPM/PGM/BMP/
-    non-interlaced 8-bit PNG) and PIL is unavailable."""
+    is not one of the natively-supported formats (PPM/PGM/BMP/
+    non-interlaced 8-bit PNG/baseline JPEG) and PIL is unavailable."""
     if payload is None:
         return None
     arr = _decode_pnm(payload)
@@ -225,6 +225,11 @@ def decode_pixels(payload: bytes) -> Optional[np.ndarray]:
         arr = _decode_bmp(payload)
     if arr is None:
         arr = _decode_png(payload)
+    if arr is None and payload[:2] == b"\xff\xd8" and not HAVE_PIL:
+        # baseline JPEG, pure-python path; PIL (below) wins when installed
+        from ..sources.jpeg_mini import decode_jpeg
+
+        arr = decode_jpeg(payload)
     if arr is None and HAVE_PIL:
         import io as _io
 

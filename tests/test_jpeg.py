@@ -1,0 +1,103 @@
+"""Baseline JPEG codec (sources/jpeg_mini.py): roundtrip across
+subsampling/quality/restart-interval configs, spec-compliance checks on
+real reference-repo JPEGs, and the decode_pixels dispatch.
+
+Encoder and decoder are independent code paths (the decoder reads every
+table from the bitstream), so a roundtrip pins the entropy coding, MCU
+interleave, and color transform against each other; the reference-repo
+fixtures pin the decoder against real libjpeg output structure."""
+
+import numpy as np
+import pytest
+
+from layout_parser_spark.operators.multimodal import decode_pixels
+from layout_parser_spark.sources.jpeg_mini import (
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_dimensions,
+)
+
+REF_JPG = "/root/reference/tests/fixtures/model/test_model_image.jpg"
+
+
+def _smooth(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (
+        np.stack(
+            [
+                xx * 255 / w,
+                yy * 255 / h,
+                128 + 100 * np.sin(xx / 9.0) * np.cos(yy / 7.0),
+            ],
+            axis=2,
+        )
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("restart", [0, 3])
+def test_roundtrip(sub, restart):
+    img = _smooth(45, 61)  # non-multiple-of-8/16 dims exercise edge MCUs
+    enc = encode_jpeg(img, quality=90, subsampling=sub, restart_interval=restart)
+    dec = decode_jpeg(enc)
+    assert dec.shape == (45, 61, 3)
+    diff = np.abs(dec.astype(int) - img.astype(int))
+    # 4:2:0 loses chroma resolution; luma-dominant bound still tight
+    assert diff.mean() < (3.0 if sub == "4:2:0" else 1.5)
+    assert diff.max() < (25 if sub == "4:2:0" else 10)
+    assert jpeg_dimensions(enc) == (45, 61)
+
+
+def test_solid_color_exact():
+    solid = np.full((8, 8, 3), 200, np.uint8)
+    dec = decode_jpeg(encode_jpeg(solid, quality=95))
+    assert int(np.abs(dec.astype(int) - 200).max()) == 0
+
+
+def test_grayscale():
+    yy, xx = np.mgrid[0:24, 0:33]
+    g = ((xx + yy) * 255 / 57).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dec.shape == (24, 33, 3)
+    assert np.array_equal(dec[:, :, 0], dec[:, :, 1])  # gray replicated
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+
+def test_quality_monotone_size():
+    img = _smooth(40, 40)
+    sizes = [len(encode_jpeg(img, quality=q)) for q in (30, 60, 95)]
+    assert sizes == sorted(sizes)
+
+
+def test_reference_fixture_decodes():
+    """A real libjpeg-produced file: dims from the SOF header must match
+    the decoded array, and a document scan is mostly white with dark
+    ink — pins the color transform's polarity and range."""
+    data = open(REF_JPG, "rb").read()
+    h, w = jpeg_dimensions(data)
+    arr = decode_jpeg(data)
+    assert arr.shape == (h, w, 3) == (932, 1279, 3)
+    assert 200 < arr.mean() < 255  # mostly white page
+    assert arr.min() < 100  # has dark text pixels
+
+
+def test_reject_paths():
+    img = _smooth(16, 16)
+    enc = encode_jpeg(img)
+    assert decode_jpeg(b"\x89PNG\r\n\x1a\n1234") is None  # wrong magic
+    assert decode_jpeg(enc[:40]) is None  # truncated header
+    # truncated entropy data: best-effort like libjpeg (decode from pad
+    # bits) or a clean None — never an exception
+    out = decode_jpeg(enc[:-30])
+    assert out is None or out.shape == (16, 16, 3)
+    progressive = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg(progressive) is None  # SOF2 unsupported
+
+
+def test_decode_pixels_dispatch():
+    img = _smooth(20, 28)
+    arr = decode_pixels(encode_jpeg(img, quality=95))
+    assert arr.shape == (20, 28, 3)
+    assert np.abs(arr.astype(int) - img.astype(int)).mean() < 1.5
