@@ -289,7 +289,8 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
 def decode_pixels(payload: bytes) -> Optional[np.ndarray]:
     """Image payload → uint8 pixel array (h, w, 3), or None if the format
     is not one of the natively-supported formats (PPM/PGM/BMP/
-    non-interlaced 8-bit PNG/baseline JPEG) and PIL is unavailable."""
+    non-interlaced 8-bit PNG/baseline+progressive JPEG) and PIL is
+    unavailable."""
     if payload is None:
         return None
     arr = _decode_pnm(payload)

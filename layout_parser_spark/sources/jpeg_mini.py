@@ -1,10 +1,12 @@
-"""Minimal pure-python/numpy baseline JPEG codec (public ITU-T.81 spec).
+"""Minimal pure-python/numpy JPEG codec (public ITU-T.81 spec).
 
-Decoder: baseline sequential DCT (SOF0/SOF1), 8-bit samples, grayscale or
-YCbCr with integer-ratio chroma subsampling (4:4:4 / 4:2:2 / 4:2:0),
-restart markers, byte-stuffed entropy stream.  Progressive (SOF2),
-arithmetic coding, 12-bit and hierarchical modes return ``None`` so the
-caller can fall back (PIL when installed, else metadata-only).
+Decoder: baseline/extended sequential DCT (SOF0/SOF1) AND progressive
+DCT (SOF2 — spectral selection + successive approximation, EOBRUN,
+multi-scan coefficient accumulation), 8-bit samples, grayscale or YCbCr
+with integer-ratio chroma subsampling (4:4:4 / 4:2:2 / 4:2:0), restart
+markers, byte-stuffed entropy stream.  Arithmetic coding, 12-bit and
+hierarchical modes return ``None`` so the caller can fall back (PIL when
+installed, else metadata-only).
 
 The hot math (dequantize + 2-D IDCT + plane assembly) is vectorized over
 ALL blocks at once with numpy matrix products; only the Huffman walk is
@@ -168,79 +170,182 @@ def decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
         return None
 
 
-def _decode_jpeg_inner(payload: bytes) -> Optional[np.ndarray]:
-    if payload[:2] != b"\xff\xd8":
-        return None
-    pos = 2
-    n = len(payload)
-    qtables: Dict[int, np.ndarray] = {}
-    huff: Dict[Tuple[int, int], _HuffLUT] = {}  # (class 0=DC/1=AC, id)
-    frame = None  # (h, w, comps) where comps = [(id, hs, vs, tq)]
-    restart_interval = 0
-    scan = None
+def _huff(br: "_BitReader", lut: _HuffLUT) -> int:
+    """One Huffman symbol via the 16-bit prefix LUT; raises ValueError on
+    an invalid code (caught by decode_jpeg's blanket handler)."""
+    p = br.peek16()
+    ln = int(lut.length[p])
+    if ln == 0:
+        raise ValueError("invalid huffman code")
+    br.skip(ln)
+    return int(lut.sym[p])
 
-    while pos + 2 <= n:
-        if payload[pos] != 0xFF:
-            return None
-        marker = payload[pos + 1]
-        pos += 2
-        if marker == 0xD9 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
-            continue
-        (length,) = struct.unpack_from(">H", payload, pos)
-        body = payload[pos + 2 : pos + length]
-        pos += length
-        if marker == 0xDB:  # DQT — possibly several tables, zigzag order
-            off = 0
-            while off < len(body):
-                pq, tq = body[off] >> 4, body[off] & 15
-                off += 1
-                if pq == 0:
-                    qtables[tq] = np.frombuffer(
-                        body, np.uint8, 64, off
-                    ).astype(np.int32)
-                    off += 64
+
+def _decode_block_seq(br, coef, dc_lut, ac_lut, pred: int) -> int:
+    """Sequential (baseline) block: DC diff + AC run-length, band 0-63."""
+    s = _huff(br, dc_lut)
+    if s:
+        pred += _extend(br.read(s), s)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff(br, ac_lut)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                break  # EOB
+            k += 16
+        else:
+            k += r
+            coef[k] = _extend(br.read(s), s)
+            k += 1
+    return pred
+
+
+def _decode_ac_first(br, coef, ac_lut, ss, se, al, eobrun: int) -> int:
+    """Progressive AC initial scan (T.81 G.1.2.2): band ss..se at
+    precision al, with EOB-run codes spanning blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff(br, ac_lut)
+        r, s = rs >> 4, rs & 15
+        if s:
+            k += r
+            if k > se:
+                break
+            coef[k] = _extend(br.read(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read(r)
+                break
+            k += 16
+    return eobrun
+
+
+def _decode_ac_refine(br, coef, ac_lut, ss, se, al, eobrun: int) -> int:
+    """Progressive AC refinement scan (T.81 G.1.2.3): correction bits for
+    already-significant coefficients, newly-significant ±2^al inserts,
+    EOB-runs carrying correction bits."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff(br, ac_lut)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s:
+                val = p1 if br.read(1) else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.read(r)
+                break  # remainder handled by the eobrun section below
+            # advance: correction bits over nonzero history, counting r
+            # zero-history positions
+            while k <= se:
+                if coef[k] != 0:
+                    if br.read(1) and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
                 else:
-                    qtables[tq] = np.frombuffer(
-                        body, ">u2", 64, off
-                    ).astype(np.int32)
-                    off += 128
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(+extended huffman)
-            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                return None
-            comps = []
-            for i in range(ncomp):
-                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
-                comps.append((cid, hv >> 4, hv & 15, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            return None  # progressive / lossless / arithmetic / diff
-        elif marker == 0xC4:  # DHT — possibly several tables
-            off = 0
-            while off < len(body):
-                tc, th = body[off] >> 4, body[off] & 15
-                counts = list(body[off + 1 : off + 17])
-                nv = sum(counts)
-                values = body[off + 17 : off + 17 + nv]
-                huff[(tc, th)] = _HuffLUT(counts, values)
-                off += 17 + nv
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows the header
-            ns = body[0]
-            scan = [
-                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
-                for i in range(ns)
-            ]
-            break
-        # APPn / COM / others: skipped by length
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                if br.read(1) and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
-    if frame is None or scan is None:
-        return None
-    h, w, comps = frame
 
-    # split the entropy stream into RST-delimited, de-stuffed segments
+def _decode_scan(
+    grids, segments, scan_comps, ss, se, ah, al,
+    restart_interval, mcus_x, mcus_y, progressive,
+    h, w, hmax, vmax,
+):
+    """Decode one entropy-coded scan into the coefficient grids.
+    ``scan_comps``: [(cid, hs, vs, dc_lut, ac_lut)].  Interleaved scans
+    traverse the MCU grid; single-component scans traverse that
+    component's own block grid (T.81 A.2.2)."""
+    br = _BitReader(segments)
+    preds = {sc[0]: 0 for sc in scan_comps}
+    eobrun = 0
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        units = mcus_x * mcus_y
+    else:
+        cid, hs, vs, _dc, _ac = scan_comps[0]
+        comp_w = -(-w * hs // hmax)  # ceil — component's own resolution
+        comp_h = -(-h * vs // vmax)
+        wb = -(-comp_w // 8)  # blocks per row in this component
+        hb = -(-comp_h // 8)
+        units = wb * hb
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            br.restart()
+            preds = {c: 0 for c in preds}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            for cid, hs, vs, dc_lut, ac_lut in scan_comps:
+                grid = grids[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = grid[my * vs + by, mx * hs + bx]
+                        if not progressive:
+                            preds[cid] = _decode_block_seq(
+                                br, coef, dc_lut, ac_lut, preds[cid]
+                            )
+                        elif ah == 0:  # DC first (ss == 0 interleaved)
+                            s = _huff(br, dc_lut)
+                            if s:
+                                preds[cid] += _extend(br.read(s), s)
+                            coef[0] = preds[cid] << al
+                        else:  # DC refinement: one bit per block
+                            if br.read(1):
+                                coef[0] |= 1 << al
+        else:
+            cid, hs, vs, dc_lut, ac_lut = scan_comps[0]
+            by, bx = divmod(u, wb)
+            coef = grids[cid][by, bx]
+            if not progressive:
+                preds[cid] = _decode_block_seq(
+                    br, coef, dc_lut, ac_lut, preds[cid]
+                )
+            elif ss == 0:  # non-interleaved DC scan
+                if ah == 0:
+                    s = _huff(br, dc_lut)
+                    if s:
+                        preds[cid] += _extend(br.read(s), s)
+                    coef[0] = preds[cid] << al
+                elif br.read(1):
+                    coef[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _decode_ac_first(
+                    br, coef, ac_lut, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _decode_ac_refine(
+                    br, coef, ac_lut, ss, se, al, eobrun
+                )
+
+
+def _entropy_segments(payload: bytes, pos: int):
+    """Split the entropy stream starting at ``pos`` into RST-delimited,
+    de-stuffed segments; returns (segments, position of next marker)."""
+    n = len(payload)
     segments: List[bytes] = []
     buf = bytearray()
     while pos < n:
@@ -260,60 +365,113 @@ def _decode_jpeg_inner(payload: bytes) -> Optional[np.ndarray]:
         else:
             break
     segments.append(bytes(buf))
+    return segments, pos
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    tables = {cid: (huff[(0, td)], huff[(1, ta)]) for cid, td, ta in scan}
 
-    # per-component block grids, zigzag-order coefficient vectors
+def _decode_jpeg_inner(payload: bytes) -> Optional[np.ndarray]:
+    if payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    n = len(payload)
+    qtables: Dict[int, np.ndarray] = {}
+    huff: Dict[Tuple[int, int], _HuffLUT] = {}  # (class 0=DC/1=AC, id)
+    frame = None  # (h, w, comps) where comps = [(id, hs, vs, tq)]
+    progressive = False
+    restart_interval = 0
     grids: Dict[int, np.ndarray] = {}
-    for cid, hs, vs, _tq in comps:
-        grids[cid] = np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
+    hmax = vmax = mcus_x = mcus_y = 0
+    got_scan = False
 
-    br = _BitReader(segments)
-    preds = {cid: 0 for cid, _, _, _ in comps}
-    coef = np.zeros(64, dtype=np.int32)
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            mcu_i = my * mcus_x + mx
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                br.restart()
-                preds = {cid: 0 for cid in preds}
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (length,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + length]
+        pos += length
+        if marker == 0xDB:  # DQT — possibly several tables, zigzag order
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 15
+                off += 1
+                if pq == 0:
+                    qtables[tq] = np.frombuffer(
+                        body, np.uint8, 64, off
+                    ).astype(np.int32)
+                    off += 64
+                else:
+                    qtables[tq] = np.frombuffer(
+                        body, ">u2", 64, off
+                    ).astype(np.int32)
+                    off += 128
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+            progressive = marker == 0xC2
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                return None
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
             for cid, hs, vs, _tq in comps:
-                dc_lut, ac_lut = tables[cid]
-                grid = grids[cid]
-                for by in range(vs):
-                    for bx in range(hs):
-                        coef[:] = 0
-                        p = br.peek16()
-                        s = int(dc_lut.sym[p])
-                        ln = int(dc_lut.length[p])
-                        if ln == 0:
-                            return None  # invalid code
-                        br.skip(ln)
-                        if s:
-                            preds[cid] += _extend(br.read(s), s)
-                        coef[0] = preds[cid]
-                        k = 1
-                        while k < 64:
-                            p = br.peek16()
-                            rs = int(ac_lut.sym[p])
-                            ln = int(ac_lut.length[p])
-                            if ln == 0:
-                                return None
-                            br.skip(ln)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r != 15:
-                                    break  # EOB
-                                k += 16
-                            else:
-                                k += r
-                                coef[k] = _extend(br.read(s), s)
-                                k += 1
-                        grid[my * vs + by, mx * hs + bx] = coef
+                grids[cid] = np.zeros(
+                    (mcus_y * vs, mcus_x * hs, 64), dtype=np.int32
+                )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            return None  # lossless / arithmetic / differential
+        elif marker == 0xC4:  # DHT — possibly several tables
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 15
+                counts = list(body[off + 1 : off + 17])
+                nv = sum(counts)
+                values = body[off + 17 : off + 17 + nv]
+                huff[(tc, th)] = _HuffLUT(counts, values)
+                off += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — decode one scan, keep walking
+            if frame is None:
+                return None
+            h, w, comps = frame
+            ns = body[0]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 15
+            by_id = {c[0]: c for c in comps}
+            scan_comps = []
+            for i in range(ns):
+                cid = body[1 + 2 * i]
+                td, ta = body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15
+                _, hs, vs, _tq = by_id[cid]
+                # a DC-only or DC-refine scan may reference an absent AC
+                # table; a refine scan may reference an absent DC table
+                dc_lut = huff.get((0, td))
+                ac_lut = huff.get((1, ta))
+                scan_comps.append((cid, hs, vs, dc_lut, ac_lut))
+            segments, pos = _entropy_segments(payload, pos)
+            _decode_scan(
+                grids, segments, scan_comps, ss, se, ah, al,
+                restart_interval, mcus_x, mcus_y, progressive,
+                h, w, hmax, vmax,
+            )
+            got_scan = True
+        # APPn / COM / others: skipped by length
+
+    if frame is None or not got_scan:
+        return None
+    h, w, comps = frame
 
     # dequantize + IDCT + assemble, vectorized per component
     planes: Dict[int, np.ndarray] = {}
@@ -442,6 +600,27 @@ _AC_CHROMA = (
 )
 
 
+def _prog_ac_table() -> Tuple[List[int], bytes]:
+    """AC Huffman table for progressive scans: the Annex-K sequential
+    tables lack the EOBn symbols (r<<4, r=1..14), so progressive encoders
+    must ship their own table (libjpeg generates optimized ones).  Flat
+    9-bit codes for every symbol we can emit — valid canonical Huffman,
+    read back from DHT by any decoder."""
+    syms = sorted(
+        set(
+            [r << 4 for r in range(15)]
+            + [0xF0]
+            + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+        )
+    )
+    counts = [0] * 16
+    counts[8] = len(syms)  # all codes 9 bits long
+    return counts, bytes(syms)
+
+
+_AC_PROG = _prog_ac_table()
+
+
 def _huff_codes(counts: List[int], values: bytes) -> Dict[int, Tuple[int, int]]:
     """symbol -> (code, length) canonical assignment."""
     out: Dict[int, Tuple[int, int]] = {}
@@ -520,6 +699,124 @@ def _encode_block(
     return dcval
 
 
+class _ScanWriter:
+    """One entropy-coded scan: bit writer + restart-marker emission +
+    progressive EOB-run state (with buffered correction bits)."""
+
+    def __init__(self, out: bytearray, restart_interval: int):
+        self.out = out
+        self.ri = restart_interval
+        self.bw = _BitWriter()
+        self.rst = 0
+        self.eobrun = 0
+        self.be_bits: List[int] = []
+
+    def sym(self, table: Dict[int, Tuple[int, int]], s: int) -> None:
+        code, ln = table[s]
+        self.bw.write(code, ln)
+
+    def flush_eobrun(self, ac: Dict[int, Tuple[int, int]]) -> None:
+        if self.eobrun > 0:
+            nb = self.eobrun.bit_length() - 1
+            self.sym(ac, nb << 4)
+            if nb:
+                self.bw.write(self.eobrun & ((1 << nb) - 1), nb)
+            for b in self.be_bits:
+                self.bw.write(b, 1)
+            self.be_bits = []
+            self.eobrun = 0
+
+    def maybe_restart(self, unit: int, ac=None) -> bool:
+        """Emit RSTn at a restart boundary; True if preds must reset."""
+        if not (self.ri and unit and unit % self.ri == 0):
+            return False
+        if ac is not None:
+            self.flush_eobrun(ac)
+        self.bw.flush()
+        self.out += bytes(self.bw.out)
+        self.bw = _BitWriter()
+        self.out += bytes([0xFF, 0xD0 + self.rst])
+        self.rst = (self.rst + 1) & 7
+        return True
+
+    def finish(self, ac=None) -> None:
+        if ac is not None:
+            self.flush_eobrun(ac)
+        self.bw.flush()
+        self.out += bytes(self.bw.out)
+
+
+def _enc_ac_first_block(sw: _ScanWriter, coef, ss, se, al, ac) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(coef[k])
+        t = (v if v >= 0 else -v) >> al
+        if t == 0:
+            r += 1
+            continue
+        sw.flush_eobrun(ac)
+        while r > 15:
+            sw.sym(ac, 0xF0)  # ZRL
+            r -= 16
+        nb = t.bit_length()
+        sw.sym(ac, (r << 4) | nb)
+        sw.bw.write(t if v >= 0 else (1 << nb) - 1 - t, nb)
+        r = 0
+    if r > 0:
+        sw.eobrun += 1
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun(ac)
+
+
+def _enc_ac_refine_block(sw: _ScanWriter, coef, ss, se, al, ac) -> None:
+    """libjpeg encode_mcu_AC_refine structure: newly-significant coefs
+    emitted with run lengths; already-significant coefs contribute
+    buffered correction bits; trailing zeros fold into the EOB run."""
+    absv = [(abs(int(coef[k])) >> al) for k in range(ss, se + 1)]
+    eob = 0
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = ss + i
+    r = 0
+    br_bits: List[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            sw.flush_eobrun(ac)
+            sw.sym(ac, 0xF0)
+            r -= 16
+            for b in br_bits:
+                sw.bw.write(b, 1)
+            br_bits = []
+        if t > 1:  # already significant: correction bit only
+            br_bits.append(t & 1)
+            continue
+        sw.flush_eobrun(ac)
+        sw.sym(ac, (r << 4) | 1)
+        sw.bw.write(1 if int(coef[k]) >= 0 else 0, 1)
+        for b in br_bits:
+            sw.bw.write(b, 1)
+        br_bits = []
+        r = 0
+    if r > 0 or br_bits:
+        sw.eobrun += 1
+        sw.be_bits.extend(br_bits)
+        if sw.eobrun == 0x7FFF or len(sw.be_bits) > 900:
+            sw.flush_eobrun(ac)
+
+
+def _sos(scan_comps: List[Tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    """SOS header bytes; scan_comps = [(component id, td<<4|ta)]."""
+    body = bytes([len(scan_comps)])
+    for cid, tdta in scan_comps:
+        body += bytes([cid, tdta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+
 def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
     quality = min(100, max(1, quality))
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
@@ -553,19 +850,27 @@ def encode_jpeg(
     quality: int = 85,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """uint8 (h, w, 3) RGB or (h, w) grayscale -> baseline JFIF bytes.
+    """uint8 (h, w, 3) RGB or (h, w) grayscale -> JFIF bytes.
 
     ``subsampling``: '4:4:4' or '4:2:0' (color only).  A non-zero
-    ``restart_interval`` emits DRI + RSTn every that many MCUs."""
+    ``restart_interval`` emits DRI + RSTn every that many MCUs (blocks,
+    for non-interleaved progressive scans).  ``progressive=True`` emits
+    SOF2 with the scan script: interleaved DC first (Al=1) + DC refine,
+    then per-component AC 1-63 first (Al=1) + AC refine — exercising
+    spectral selection, successive approximation, and EOB-runs."""
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     qy = _scaled_q(_Q_LUMA[_ZZ_ROWS, _ZZ_COLS], quality)
     qc = _scaled_q(_Q_CHROMA[_ZZ_ROWS, _ZZ_COLS], quality)
     dcl = _huff_codes(*_DC_LUMA)
-    acl = _huff_codes(*_AC_LUMA)
     dcc = _huff_codes(*_DC_CHROMA)
-    acc = _huff_codes(*_AC_CHROMA)
+    if progressive:  # sequential tables lack the EOBn symbols
+        acl = acc = _huff_codes(*_AC_PROG)
+    else:
+        acl = _huff_codes(*_AC_LUMA)
+        acc = _huff_codes(*_AC_CHROMA)
 
     if gray:
         comps = [(1, 1, 1, 0)]
@@ -614,14 +919,15 @@ def encode_jpeg(
     )
     for tq, q in ((0, qy),) + (() if gray else ((1, qc),)):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(int(v) for v in q)
-    out += b"\xff\xc0" + struct.pack(
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
         ">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps)
     )
     for cid, hs, vs, tq in comps:
         out += struct.pack(">BBB", cid, (hs << 4) | vs, tq)
-    hts = [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)]
+    ac_tbl = _AC_PROG if progressive else _AC_LUMA
+    hts = [(0, 0, _DC_LUMA), (1, 0, ac_tbl)]
     if not gray:
-        hts += [(0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)]
+        hts += [(0, 1, _DC_CHROMA), (1, 1, _AC_PROG if progressive else _AC_CHROMA)]
     for tc, th, (counts, values) in hts:
         out += (
             b"\xff\xc4"
@@ -631,6 +937,68 @@ def encode_jpeg(
         )
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    mcus = mcus_y * mcus_x
+    if progressive:
+        dc_ids = [(cid, (0 if tq == 0 else 1) << 4) for cid, _h, _v, tq in comps]
+        # scan 1: DC first, interleaved, Al=1 (arithmetic point transform)
+        out += _sos(dc_ids, 0, 0, 0, 1)
+        sw = _ScanWriter(out, restart_interval)
+        preds = {cid: 0 for cid, _, _, _ in comps}
+        for u in range(mcus):
+            if sw.maybe_restart(u):
+                preds = {c: 0 for c in preds}
+            my, mx = divmod(u, mcus_x)
+            for cid, hs, vs, tq in comps:
+                dc = dcl if tq == 0 else dcc
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(qgrids[cid][my * vs + by, mx * hs + bx][0]) >> 1
+                        diff = v - preds[cid]
+                        preds[cid] = v
+                        s = _magnitude(diff)
+                        sw.sym(dc, s)
+                        if s:
+                            sw.bw.write(
+                                diff if diff >= 0 else diff + (1 << s) - 1, s
+                            )
+        sw.finish()
+        # scan 2: DC refinement (Ah=1, Al=0) — one raw bit per block
+        out += _sos(dc_ids, 0, 0, 1, 0)
+        sw = _ScanWriter(out, restart_interval)
+        for u in range(mcus):
+            sw.maybe_restart(u)
+            my, mx = divmod(u, mcus_x)
+            for cid, hs, vs, _tq in comps:
+                for by in range(vs):
+                    for bx in range(hs):
+                        sw.bw.write(
+                            int(qgrids[cid][my * vs + by, mx * hs + bx][0]) & 1, 1
+                        )
+        sw.finish()
+        # AC scans, per component: first pass at Al=1, then refinement
+        for ah in (0, 1):
+            for cid, hs, vs, tq in comps:
+                ac = acl if tq == 0 else acc
+                comp_w = -(-w * hs // hmax)
+                comp_h = -(-h * vs // vmax)
+                wb = -(-comp_w // 8)
+                hb = -(-comp_h // 8)
+                out += _sos(
+                    [(cid, 0 if tq == 0 else 1)], 1, 63, ah, 1 - ah
+                )
+                sw = _ScanWriter(out, restart_interval)
+                for u in range(wb * hb):
+                    sw.maybe_restart(u, ac)
+                    by, bx = divmod(u, wb)
+                    block = qgrids[cid][by, bx]
+                    if ah == 0:
+                        _enc_ac_first_block(sw, block, 1, 63, 1, ac)
+                    else:
+                        _enc_ac_refine_block(sw, block, 1, 63, 0, ac)
+                sw.finish(ac)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
     for cid, _hs, _vs, tq in comps:
         td_ta = 0 if tq == 0 else 0x11

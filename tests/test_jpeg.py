@@ -92,8 +92,51 @@ def test_reject_paths():
     # bits) or a clean None — never an exception
     out = decode_jpeg(enc[:-30])
     assert out is None or out.shape == (16, 16, 3)
-    progressive = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    assert decode_jpeg(progressive) is None  # SOF2 unsupported
+    arith = enc.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    assert decode_jpeg(arith) is None  # arithmetic coding unsupported
+
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("restart", [0, 3])
+def test_progressive_identical_to_baseline(sub, restart):
+    """Progressive (SOF2) decode of the same quantized coefficients must
+    be PIXEL-IDENTICAL to the fixture-validated baseline decode — this
+    cross-checks spectral selection, successive approximation (DC+AC
+    first/refine), and EOB-run handling against the sequential path."""
+    img = _smooth(45, 61)
+    base = decode_jpeg(
+        encode_jpeg(img, quality=80, subsampling=sub, restart_interval=restart)
+    )
+    prog = decode_jpeg(
+        encode_jpeg(
+            img, quality=80, subsampling=sub,
+            restart_interval=restart, progressive=True,
+        )
+    )
+    assert prog is not None
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_noise_and_padded_grids():
+    """Noise maximizes ZRL/EOBRUN/refinement traffic; w=50 at 4:2:0 gives
+    a luma grid wider than the component's own block count (padded MCU
+    columns are AC-skipped in progressive scans but cropped away)."""
+    rng = np.random.default_rng(11)
+    for h, w in [(50, 50), (17, 50), (9, 24)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        b = decode_jpeg(encode_jpeg(img, quality=80, subsampling="4:2:0"))
+        p = decode_jpeg(
+            encode_jpeg(img, quality=80, subsampling="4:2:0", progressive=True)
+        )
+        assert np.array_equal(b, p)
+
+
+def test_progressive_grayscale_and_dims():
+    yy, xx = np.mgrid[0:24, 0:33]
+    g = ((xx + yy) * 255 / 57).astype(np.uint8)
+    enc = encode_jpeg(g, quality=90, progressive=True)
+    assert jpeg_dimensions(enc) == (24, 33)  # SOFn scan covers SOF2
+    assert np.array_equal(decode_jpeg(enc), decode_jpeg(encode_jpeg(g, quality=90)))
 
 
 def test_decode_pixels_dispatch():
