@@ -1154,6 +1154,43 @@ WHERE d.doc_id % 97 != 0
 """
 
 
+def q_remove_boilerplate(spark, sf: str) -> DataFrame:
+    """CCNet/RefinedWeb repeated-segment removal: drop every segment
+    (word-delimited here — the synthetic docs are single-line) whose
+    document frequency exceeds 250 of the 500 sf0.01 docs, reassemble
+    survivors in order.  Line-level at production (delim='\\n')."""
+    from layout_parser_spark.operators.dedup import repeated_line_removal
+
+    return repeated_line_removal(
+        _t(spark, sf, "documents"), delim=" ", max_df=250
+    )
+
+
+SQL_REMOVE_BOILERPLATE = """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS line,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), hot AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING COUNT(DISTINCT doc_id) > 250
+), kept AS (
+  SELECT l.doc_id, l.line, l.pos
+  FROM lines l LEFT JOIN hot h USING (line) WHERE h.line IS NULL
+), agg AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0) AS BIGINT)
+         AS n_dropped
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 def q_multimodal_meta(spark, sf: str) -> DataFrame:
     """Opaque-binary handling: metadata of a binary payload column."""
     d = _t(spark, sf, "documents").withColumn(
@@ -1475,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_repetition": q_docs_repetition,
         "decontaminate": q_decontaminate,
+        "remove_boilerplate": q_remove_boilerplate,
         "multimodal_meta": q_multimodal_meta,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1513,6 +1551,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint": SQL_FINGERPRINT,
         "docs_repetition": SQL_REPETITION,
         "decontaminate": SQL_DECONTAMINATE,
+        "remove_boilerplate": SQL_REMOVE_BOILERPLATE,
         "multimodal_meta": SQL_MULTIMODAL,
         "dedup_embedding_cosine": SQL_EMB_DEDUP,
         "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),

@@ -587,3 +587,64 @@ def ngram_overlap_counts_flagged(
         F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
         (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def repeated_line_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    max_df: int = 100,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style repeated-segment removal: split every
+    document on ``delim``, count each distinct segment's document
+    frequency across the corpus, DROP all occurrences of segments
+    appearing in more than ``max_df`` documents (nav bars, cookie
+    banners, footers), and reassemble the survivors in original order.
+
+    Returns (id, clean_text, n_kept, n_dropped).
+
+    Scale shape: the df-count is a map-side-combinable hash aggregate on
+    the segment; the hot set (df > max_df) is tiny by construction —
+    boilerplate is common, so few distinct strings clear the bar — and
+    broadcasts into a LEFT ANTI join, so the corpus-sized side never
+    re-shuffles for the filter.  Reassembly is one shuffle on the doc id.
+    For very long segments at 10^12-doc scale, pre-hash the segment to an
+    md5 lane and anti-join on the lane (16-byte shuffle keys)."""
+    import re as _re
+
+    pat = _re.escape(delim)
+    parts = F.split(F.col(text_col), pat)
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(parts).alias("pos", "line"),
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("id").alias("dfc"))
+        .where(F.col("dfc") > max_df)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(hot), on="line", how="left_anti")
+    agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), F.size(parts).alias("_n_lines")
+    )
+    return base.join(agg, on="id", how="left").select(
+        "id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (
+            F.col("_n_lines").cast("long")
+            - F.coalesce(F.col("n_kept"), F.lit(0))
+        ).alias("n_dropped"),
+    )
