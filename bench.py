@@ -125,6 +125,7 @@ def main():
         "docs_fingerprint",
         "docs_repetition",
         "decontaminate",
+        "remove_boilerplate",
         "ann_cosine_topk",
         "geom_rect_algebra",
         "geom_is_in_join",
