@@ -274,3 +274,44 @@ def test_kmeans_centroids_deterministic_and_improving(spark):
         for r in ivf_topk(v, q, k=5, nlist=8, nprobe=8, centroids=c3).collect()
     }
     assert exact == ivf
+
+
+def test_repeated_line_removal_newline_delim(spark):
+    from layout_parser_spark.operators.dedup import repeated_line_removal
+
+    nav = "home | products | contact"
+    foot = "(c) 2026 example inc"
+    docs = [
+        (0, f"{nav}\nunique alpha\n{foot}"),
+        (1, f"{nav}\nunique beta\n{foot}"),
+        (2, f"{nav}\nunique gamma\n{foot}"),
+        (3, f"{nav}\n{foot}"),  # boilerplate-only → empty after cleaning
+        (4, "standalone page"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.id: r
+        for r in repeated_line_removal(df, delim="\n", max_df=2).collect()
+    }
+    assert out[0].clean_text == "unique alpha"
+    assert out[1].clean_text == "unique beta"
+    assert out[2].clean_text == "unique gamma"
+    assert (out[0].n_kept, out[0].n_dropped) == (1, 2)
+    assert out[3].clean_text == "" and out[3].n_kept == 0
+    assert out[3].n_dropped == 2
+    assert out[4].clean_text == "standalone page"  # df=1 survives
+
+
+def test_repeated_line_removal_preserves_order(spark):
+    from layout_parser_spark.operators.dedup import repeated_line_removal
+
+    # repeated segment interleaved between unique ones; order must hold
+    docs = [(i, f"u{i}a\nSPAM\nu{i}b\nSPAM\nu{i}c") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.id: r
+        for r in repeated_line_removal(df, delim="\n", max_df=3).collect()
+    }
+    for i in range(5):
+        assert out[i].clean_text == f"u{i}a\nu{i}b\nu{i}c"
+        assert out[i].n_dropped == 2
