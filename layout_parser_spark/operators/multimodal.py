@@ -424,6 +424,7 @@ def crop_image_blocks(
     payload_col: str = "payload",
     blocks_col: str = "blocks",
     key_cols: tuple = ("url",),
+    encode_fmt: str = "ppm",
 ) -> DataFrame:
     """Distributed ``crop_image``: rectangles/intervals slice
     ``img[int(y_1):int(y_2), int(x_1):int(x_2)]`` (reference
@@ -432,7 +433,17 @@ def crop_image_blocks(
     (reference :1104-1117, cv2.warpPerspective — here the numpy twin with
     bilinear sampling; a degenerate quad falls back to its bbox crop).
     One output row per (document, block), cropped pixels re-encoded as
-    PPM; decode+crop+encode run inside one mapInPandas stage."""
+    ``encode_fmt`` ('ppm' exact, or 'jpeg' quality-85 for the compact
+    form a training pipeline stores); decode+crop+encode run inside one
+    mapInPandas stage."""
+    if encode_fmt not in ("ppm", "jpeg"):
+        raise ValueError(f"encode_fmt must be 'ppm' or 'jpeg', got {encode_fmt!r}")
+    if encode_fmt == "jpeg":
+        from ..sources.jpeg_mini import encode_jpeg
+
+        enc = lambda a: encode_jpeg(a, quality=85)  # noqa: E731
+    else:
+        enc = encode_ppm
     key_fields = [df.schema[c] for c in key_cols]
     schema = StructType(list(key_fields) + CROP_SCHEMA_FIELDS)
 
@@ -496,13 +507,93 @@ def crop_image_blocks(
                             bd.get("id"),
                             int(crop.shape[1]),
                             int(crop.shape[0]),
-                            encode_ppm(crop) if crop.size else None,
+                            enc(crop) if crop.size else None,
                         )
                     )
             yield pd.DataFrame(
                 recs,
                 columns=list(key_cols)
                 + ["block_id", "crop_w", "crop_h", "crop"],
+            )
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+FRAME_SAMPLE_FIELDS = [
+    StructField("frame_idx", IntegerType(), True),
+    StructField("ts_s", DoubleType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("features", ArrayType(DoubleType()), True),
+]
+
+
+def sample_video_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    n_frames: int = 4,
+    key_cols: tuple = ("url",),
+) -> DataFrame:
+    """REAL frame sampling for MJPEG-AVI payloads: walk the container,
+    pick ``n_frames`` evenly spaced frames, JPEG-decode ONLY those, and
+    emit one row per sampled frame with dims + the 16-bin luminance
+    histogram.  Non-MJPEG payloads produce no rows (callers keep the
+    digest-based ``sample_frames`` as the opaque fallback).  The explode
+    shape (one input row → k frame rows) and the decode-inside-the-
+    Arrow-stage rule are the production layout for video at scale."""
+    from ..sources.avi_mini import decode_avi_frames
+    from ..sources.jpeg_mini import decode_jpeg
+
+    key_fields = [df.schema[c] for c in key_cols]
+    schema = StructType(list(key_fields) + FRAME_SAMPLE_FIELDS)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                dec = (
+                    decode_avi_frames(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if dec is None:
+                    continue
+                fps, frames = dec
+                if not frames:
+                    continue
+                k = min(n_frames, len(frames))
+                idxs = [
+                    round(i * (len(frames) - 1) / max(1, k - 1))
+                    for i in range(k)
+                ]
+                for fi in dict.fromkeys(idxs):  # dedupe, keep order
+                    arr = decode_jpeg(frames[fi])
+                    if arr is None:
+                        continue
+                    lum = (
+                        0.299 * arr[:, :, 0]
+                        + 0.587 * arr[:, :, 1]
+                        + 0.114 * arr[:, :, 2]
+                    ).astype(np.uint8)
+                    hist = np.bincount(
+                        lum.reshape(-1) >> 4, minlength=16
+                    ).astype("float64")
+                    hist /= max(1.0, hist.sum())
+                    recs.append(
+                        tuple(row[c] for c in key_cols)
+                        + (
+                            int(fi),
+                            (fi / fps) if fps else None,
+                            int(arr.shape[0]),
+                            int(arr.shape[1]),
+                            [float(v) for v in hist],
+                        )
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=list(key_cols)
+                + ["frame_idx", "ts_s", "height", "width", "features"],
             )
 
     return df.mapInPandas(gen, schema=schema)

@@ -1,0 +1,81 @@
+"""MJPEG-AVI container codec (sources/avi_mini.py) + real distributed
+frame sampling (multimodal.sample_video_frames) + JPEG crop re-encode."""
+
+import numpy as np
+import pytest
+
+from layout_parser_spark.operators.multimodal import (
+    crop_image_blocks,
+    decode_pixels,
+    encode_ppm,
+    sample_video_frames,
+)
+from layout_parser_spark.sources.avi_mini import (
+    decode_avi_frames,
+    encode_avi_mjpeg,
+    probe_avi,
+)
+from layout_parser_spark.sources.jpeg_mini import decode_jpeg
+
+
+def _ramp_frames(n=10, h=24, w=32):
+    """Frame i is solid 20*i+10 — sampled frames identify themselves."""
+    return [np.full((h, w, 3), 20 * i + 10, np.uint8) for i in range(n)]
+
+
+def test_avi_roundtrip_and_probe():
+    frames = _ramp_frames()
+    avi = encode_avi_mjpeg(frames, fps=5)
+    assert probe_avi(avi) == (24, 32, 10, 5.0)
+    fps, fr = decode_avi_frames(avi)
+    assert fps == 5.0 and len(fr) == 10
+    for i in (0, 4, 9):
+        arr = decode_jpeg(fr[i])
+        assert arr.shape == (24, 32, 3)
+        assert abs(float(arr.mean()) - (20 * i + 10)) < 2  # JPEG-lossy
+
+
+def test_avi_rejects():
+    assert decode_avi_frames(b"RIFF\x10\x00\x00\x00WAVEdata") is None
+    assert decode_avi_frames(b"\x00" * 64) is None
+    assert probe_avi(b"OggS" + b"\x00" * 60) is None
+
+
+def test_sample_video_frames_stage(spark):
+    avi = encode_avi_mjpeg(_ramp_frames(), fps=5)
+    df = spark.createDataFrame(
+        [("v1", bytearray(avi)), ("bad", bytearray(b"\x00" * 50)), ("nul", None)],
+        "url string, payload binary",
+    )
+    rows = sample_video_frames(df, n_frames=4).collect()
+    assert sorted(r.frame_idx for r in rows) == [0, 3, 6, 9]  # even spacing
+    by_idx = {r.frame_idx: r for r in rows}
+    assert all(r.url == "v1" for r in rows)  # bad/null payloads emit none
+    assert by_idx[0].ts_s == 0.0 and by_idx[9].ts_s == pytest.approx(1.8)
+    assert (by_idx[3].height, by_idx[3].width) == (24, 32)
+    # frame 0 is solid 10 -> all luminance mass in bin 0
+    assert by_idx[0].features[0] == pytest.approx(1.0)
+    # frame 9 is solid 190 -> bin 11 (190 >> 4)
+    assert by_idx[9].features[11] == pytest.approx(1.0)
+
+
+def test_crop_blocks_jpeg_encode(spark):
+    img = np.zeros((40, 60, 3), np.uint8)
+    img[10:20, 5:25] = 200
+    schema = (
+        "url string, payload binary, blocks array<struct<"
+        "id int, block_type string, x_1 double, y_1 double, "
+        "x_2 double, y_2 double, points array<double>>>"
+    )
+    df = spark.createDataFrame(
+        [("u", bytearray(encode_ppm(img)),
+          [(0, "rectangle", 5.0, 10.0, 25.0, 20.0, None)])],
+        schema,
+    )
+    (row,) = crop_image_blocks(df, encode_fmt="jpeg").collect()
+    assert (row.crop_w, row.crop_h) == (20, 10)
+    arr = decode_pixels(bytes(row.crop))  # magic-dispatches to JPEG
+    assert arr.shape == (10, 20, 3)
+    assert abs(float(arr.mean()) - 200) < 3
+    with pytest.raises(ValueError):
+        crop_image_blocks(df, encode_fmt="webp")
