@@ -52,8 +52,9 @@ def decode_wav(payload: bytes) -> Optional[Tuple[int, int, np.ndarray]]:
     if fmt is None or data is None:
         return None
     audio_fmt, channels, rate, _brate, _align, bits = fmt
-    if channels < 1 or rate < 1:
+    if channels < 1 or rate < 1 or bits < 8:
         return None
+    data = data[: len(data) - (len(data) % (bits // 8))]  # truncated tail
     if audio_fmt == 1 and bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif audio_fmt == 1 and bits == 8:

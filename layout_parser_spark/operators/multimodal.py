@@ -69,21 +69,24 @@ def image_dimensions(payload: bytes) -> Optional[tuple]:
     payload without paying entropy decode for any of them."""
     if payload is None or len(payload) < 16:
         return None
-    if payload.startswith(_PNG_SIG):
-        w, h = struct.unpack_from(">II", payload, 16)
-        return h, w
-    if payload[:2] == b"BM":
-        w, h = struct.unpack_from("<ii", payload, 18)
-        return abs(h), w
-    if payload[:2] in (b"P6", b"P5"):
-        arr_hdr = _decode_pnm_header(payload)
-        if arr_hdr is not None:
-            w, h, _maxval, _pos = arr_hdr
+    try:
+        if payload.startswith(_PNG_SIG):
+            w, h = struct.unpack_from(">II", payload, 16)
             return h, w
-    if payload[:2] == b"\xff\xd8":
-        from ..sources.jpeg_mini import jpeg_dimensions
+        if payload[:2] == b"BM":
+            w, h = struct.unpack_from("<ii", payload, 18)
+            return abs(h), w
+        if payload[:2] in (b"P6", b"P5"):
+            arr_hdr = _decode_pnm_header(payload)
+            if arr_hdr is not None:
+                w, h, _maxval, _pos = arr_hdr
+                return h, w
+        if payload[:2] == b"\xff\xd8":
+            from ..sources.jpeg_mini import jpeg_dimensions
 
-        return jpeg_dimensions(payload)
+            return jpeg_dimensions(payload)
+    except Exception:  # untrusted crawl bytes: unparseable == no dims
+        return None
     return None
 
 
@@ -293,21 +296,26 @@ def decode_pixels(payload: bytes) -> Optional[np.ndarray]:
     unavailable."""
     if payload is None:
         return None
-    arr = _decode_pnm(payload)
-    if arr is None:
-        arr = _decode_bmp(payload)
-    if arr is None:
-        arr = _decode_png(payload)
-    if arr is None and payload[:2] == b"\xff\xd8" and not HAVE_PIL:
-        # baseline JPEG, pure-python path; PIL (below) wins when installed
-        from ..sources.jpeg_mini import decode_jpeg
+    # untrusted crawl bytes: ANY decoder exception means "not decodable
+    # here" — this is the single choke point where that contract holds
+    try:
+        arr = _decode_pnm(payload)
+        if arr is None:
+            arr = _decode_bmp(payload)
+        if arr is None:
+            arr = _decode_png(payload)
+        if arr is None and payload[:2] == b"\xff\xd8" and not HAVE_PIL:
+            # pure-python JPEG path; PIL (below) wins when installed
+            from ..sources.jpeg_mini import decode_jpeg
 
-        arr = decode_jpeg(payload)
-    if arr is None and HAVE_PIL:
-        import io as _io
+            arr = decode_jpeg(payload)
+        if arr is None and HAVE_PIL:
+            import io as _io
 
-        img = Image.open(_io.BytesIO(payload)).convert("RGB")
-        arr = np.asarray(img)
+            img = Image.open(_io.BytesIO(payload)).convert("RGB")
+            arr = np.asarray(img)
+    except Exception:
+        return None
     return arr
 
 

@@ -166,7 +166,15 @@ def decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
     stream is not baseline-decodable here."""
     try:
         return _decode_jpeg_inner(payload)
-    except (IndexError, ValueError, KeyError, struct.error, ZeroDivisionError):
+    except (
+        IndexError,
+        ValueError,
+        KeyError,
+        AttributeError,  # scan referencing a never-defined huffman table
+        TypeError,
+        struct.error,
+        ZeroDivisionError,
+    ):
         return None
 
 
