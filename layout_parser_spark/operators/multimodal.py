@@ -85,6 +85,9 @@ def image_dimensions(payload: bytes) -> Optional[tuple]:
             from ..sources.jpeg_mini import jpeg_dimensions
 
             return jpeg_dimensions(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack_from("<HH", payload, 6)
+            return h, w
     except Exception:  # untrusted crawl bytes: unparseable == no dims
         return None
     return None
@@ -262,21 +265,31 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
             cur = line.copy()
         elif ftype == 2:  # Up
             cur = line + prev
-        else:  # Sub/Average/Paeth need the running left pixel
-            cur = np.empty(stride, dtype=np.uint8)
-            li = int(0)
-            for i in range(stride):
-                a = int(cur[i - nchan]) if i >= nchan else 0
-                b = int(prev[i])
-                if ftype == 1:
-                    p = a
-                elif ftype == 3:
-                    p = (a + b) // 2
-                else:  # Paeth
-                    c = int(prev[i - nchan]) if i >= nchan else 0
-                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+        elif ftype == 1:  # Sub: per-channel-lane running sum, mod 256
+            cur = np.cumsum(
+                line.reshape(-1, nchan), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        else:  # Average/Paeth: sequential left dependency; python-list
+            # loop is ~5× faster than per-item numpy indexing
+            lin = line.tolist()
+            pre = prev.tolist()
+            cur_l = [0] * stride
+            if ftype == 3:
+                for i in range(stride):
+                    a = cur_l[i - nchan] if i >= nchan else 0
+                    cur_l[i] = (lin[i] + ((a + pre[i]) >> 1)) & 0xFF
+            else:  # Paeth
+                for i in range(stride):
+                    a = cur_l[i - nchan] if i >= nchan else 0
+                    b = pre[i]
+                    c = pre[i - nchan] if i >= nchan else 0
+                    pa = b - c if b >= c else c - b
+                    pb = a - c if a >= c else c - a
+                    t = a + b - 2 * c
+                    pc = t if t >= 0 else -t
                     p = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (int(line[i]) + p) & 0xFF
+                    cur_l[i] = (lin[i] + p) & 0xFF
+            cur = np.asarray(cur_l, dtype=np.uint8)
         out[r] = cur
         prev = cur
     arr = out.reshape(h, w, nchan)
@@ -309,6 +322,10 @@ def decode_pixels(payload: bytes) -> Optional[np.ndarray]:
             from ..sources.jpeg_mini import decode_jpeg
 
             arr = decode_jpeg(payload)
+        if arr is None and payload[:6] in (b"GIF87a", b"GIF89a") and not HAVE_PIL:
+            from ..sources.gif_mini import decode_gif
+
+            arr = decode_gif(payload)
         if arr is None and HAVE_PIL:
             import io as _io
 
@@ -542,41 +559,60 @@ def sample_video_frames(
     n_frames: int = 4,
     key_cols: tuple = ("url",),
 ) -> DataFrame:
-    """REAL frame sampling for MJPEG-AVI payloads: walk the container,
-    pick ``n_frames`` evenly spaced frames, JPEG-decode ONLY those, and
-    emit one row per sampled frame with dims + the 16-bin luminance
-    histogram.  Non-MJPEG payloads produce no rows (callers keep the
-    digest-based ``sample_frames`` as the opaque fallback).  The explode
-    shape (one input row → k frame rows) and the decode-inside-the-
-    Arrow-stage rule are the production layout for video at scale."""
+    """REAL frame sampling for MJPEG-AVI and animated-GIF payloads: walk
+    the container, pick ``n_frames`` evenly spaced frames, decode only
+    what the sample needs (AVI frames are independent JPEGs; GIF frames
+    composite so the canvas chain is materialized), and emit one row per
+    sampled frame with dims + the 16-bin luminance histogram.  Other
+    codecs produce no rows (callers keep the digest-based
+    ``sample_frames`` as the opaque fallback).  The explode shape (one
+    input row → k frame rows) and the decode-inside-the-Arrow-stage rule
+    are the production layout for video at scale."""
     from ..sources.avi_mini import decode_avi_frames
+    from ..sources.gif_mini import decode_gif_frames
     from ..sources.jpeg_mini import decode_jpeg
 
     key_fields = [df.schema[c] for c in key_cols]
     schema = StructType(list(key_fields) + FRAME_SAMPLE_FIELDS)
+
+    def frame_source(payload: bytes):
+        """(n_frames, get(i) -> (pixels|None, ts_s|None)) for any
+        supported animated container."""
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            dec = decode_gif_frames(payload)
+            if dec is None:
+                return None
+            frames, delays = dec
+            ts = np.concatenate([[0.0], np.cumsum(delays)[:-1]])
+            return len(frames), lambda i: (frames[i], float(ts[i]))
+        dec = decode_avi_frames(payload)
+        if dec is None:
+            return None
+        fps, jpegs = dec
+        return len(jpegs), lambda i: (
+            decode_jpeg(jpegs[i]),
+            (i / fps) if fps else None,
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for _, row in pdf.iterrows():
                 payload = row[payload_col]
-                dec = (
-                    decode_avi_frames(bytes(payload))
+                src = (
+                    frame_source(bytes(payload))
                     if payload is not None
                     else None
                 )
-                if dec is None:
+                if src is None or src[0] == 0:
                     continue
-                fps, frames = dec
-                if not frames:
-                    continue
-                k = min(n_frames, len(frames))
+                total, get = src
+                k = min(n_frames, total)
                 idxs = [
-                    round(i * (len(frames) - 1) / max(1, k - 1))
-                    for i in range(k)
+                    round(i * (total - 1) / max(1, k - 1)) for i in range(k)
                 ]
                 for fi in dict.fromkeys(idxs):  # dedupe, keep order
-                    arr = decode_jpeg(frames[fi])
+                    arr, ts_s = get(fi)
                     if arr is None:
                         continue
                     lum = (
@@ -592,7 +628,7 @@ def sample_video_frames(
                         tuple(row[c] for c in key_cols)
                         + (
                             int(fi),
-                            (fi / fps) if fps else None,
+                            ts_s,
                             int(arr.shape[0]),
                             int(arr.shape[1]),
                             [float(v) for v in hist],

@@ -26,6 +26,7 @@ from layout_parser_spark.sources.avi_mini import (
     encode_avi_mjpeg,
     probe_avi,
 )
+from layout_parser_spark.sources.gif_mini import decode_gif, encode_gif
 from layout_parser_spark.sources.jpeg_mini import decode_jpeg, encode_jpeg
 
 DECODERS = [
@@ -36,6 +37,7 @@ DECODERS = [
     audio_features,
     decode_pixels,
     image_dimensions,
+    decode_gif,
 ]
 
 
@@ -69,6 +71,7 @@ def corpus():
         "wav": encode_wav(np.sin(np.arange(800) / 20.0)),
         "png": _png_bytes(img),
         "ppm": encode_ppm(img),
+        "gif": encode_gif((img >> 6) << 6),  # 4^3 = 64 colors max
     }
 
 
