@@ -1154,6 +1154,30 @@ WHERE d.doc_id % 97 != 0
 """
 
 
+def q_docs_lm_score(spark, sf: str) -> DataFrame:
+    """Unigram LM quality score (the CCNet-perplexity analog): corpus
+    token frequencies -> mean log-probability per document."""
+    from layout_parser_spark.operators.text_analysis import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf, "documents"))
+
+
+SQL_LM_SCORE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), freq AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT SUM(c) AS t FROM freq
+)
+SELECT doc_id AS id,
+       ROUND(AVG(LN(c * 1.0 / t)), 6) AS avg_logprob,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM toks JOIN freq USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 def q_remove_boilerplate(spark, sf: str) -> DataFrame:
     """CCNet/RefinedWeb repeated-segment removal: drop every segment
     (word-delimited here — the synthetic docs are single-line) whose
@@ -1513,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": q_docs_repetition,
         "decontaminate": q_decontaminate,
         "remove_boilerplate": q_remove_boilerplate,
+        "docs_lm_score": q_docs_lm_score,
         "multimodal_meta": q_multimodal_meta,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1552,6 +1577,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": SQL_REPETITION,
         "decontaminate": SQL_DECONTAMINATE,
         "remove_boilerplate": SQL_REMOVE_BOILERPLATE,
+        "docs_lm_score": SQL_LM_SCORE,
         "multimodal_meta": SQL_MULTIMODAL,
         "dedup_embedding_cosine": SQL_EMB_DEDUP,
         "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),

@@ -126,6 +126,7 @@ def main():
         "docs_repetition",
         "decontaminate",
         "remove_boilerplate",
+        "docs_lm_score",
         "ann_cosine_topk",
         "geom_rect_algebra",
         "geom_is_in_join",

@@ -153,3 +153,37 @@ def repetition_stats(toks: Column) -> "dict[str, Column]":
             6,
         ),
     }
+
+
+def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-trained unigram LM score per document — the shuffle-shape
+    analog of CCNet's KenLM perplexity filter: estimate p(tok) from the
+    corpus itself, score each document by the mean token log-probability
+    (higher = more typical text, very low = gibberish/outlier).
+
+    Returns (id, avg_logprob, n_tokens).
+
+    Scale shape: token frequencies are one map-side-combinable aggregate;
+    the corpus total is a one-row broadcast; the score join shuffles on
+    the token (the same equi-shuffle every dedup op here uses).  No
+    smoothing is needed because the vocabulary IS the corpus (every
+    scored token has count >= 1)."""
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(freq, on="tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.round(F.avg(F.log(F.col("c") / F.col("t"))), 6).alias(
+                "avg_logprob"
+            ),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
