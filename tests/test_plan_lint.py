@@ -1,0 +1,35 @@
+"""Plan lint over the ENTIRE driver contract: no query may plan a
+Cartesian product, and BroadcastNestedLoopJoin is allowed only where the
+broadcast side is a known O(1)-size constant (a one-row corpus total, a
+4-row region dim, the query-vector set, a centroid-array attach).
+
+This is the scale regression guard: a refactor that silently turns an
+equi-join into a cross join fails here long before it fails at 100 TB.
+Planning only — nothing executes."""
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+#: BNLJ against an O(1)-size broadcast side — benign by construction.
+BNLJ_ALLOWED = {
+    "geom_is_in_join",      # 4-row region dim, crossJoin+aggregate
+    "docs_lm_score",        # one-row corpus-total attach
+    "ann_cosine_topk",      # broadcast query-vector set (exact baseline)
+    "ann_ivf",              # one-row centroid-array attach
+    "ann_ivf_kmeans",       # same, per k-means round
+}
+
+
+def test_no_cartesian_or_unexpected_bnlj(spark):
+    offenders = {}
+    for name, fn in entry.queries().items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            flags.append("BroadcastNestedLoopJoin")
+        if flags:
+            offenders[name] = flags
+    assert offenders == {}, f"scale-hostile join shapes: {offenders}"
