@@ -69,28 +69,30 @@ def image_dimensions(payload: bytes) -> Optional[tuple]:
     payload without paying entropy decode for any of them."""
     if payload is None or len(payload) < 16:
         return None
+    hw = None
     try:
         if payload.startswith(_PNG_SIG):
             w, h = struct.unpack_from(">II", payload, 16)
-            return h, w
-        if payload[:2] == b"BM":
+            hw = (h, w)
+        elif payload[:2] == b"BM":
             w, h = struct.unpack_from("<ii", payload, 18)
-            return abs(h), w
-        if payload[:2] in (b"P6", b"P5"):
+            hw = (abs(h), w)
+        elif payload[:2] in (b"P6", b"P5"):
             arr_hdr = _decode_pnm_header(payload)
             if arr_hdr is not None:
                 w, h, _maxval, _pos = arr_hdr
-                return h, w
-        if payload[:2] == b"\xff\xd8":
+                hw = (h, w)
+        elif payload[:2] == b"\xff\xd8":
             from ..sources.jpeg_mini import jpeg_dimensions
 
-            return jpeg_dimensions(payload)
-        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            hw = jpeg_dimensions(payload)
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
             w, h = struct.unpack_from("<HH", payload, 6)
-            return h, w
+            hw = (h, w)
     except Exception:  # untrusted crawl bytes: unparseable == no dims
         return None
-    return None
+    # a zeroed/degenerate header is no more useful than no header
+    return hw if hw is not None and hw[0] > 0 and hw[1] > 0 else None
 
 
 def media_metadata_decoded(
