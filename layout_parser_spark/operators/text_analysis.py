@@ -168,8 +168,6 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
     the token (the same equi-shuffle every dedup op here uses).  No
     smoothing is needed because the vocabulary IS the corpus (every
     scored token has count >= 1)."""
-    from pyspark.sql import DataFrame  # noqa: F401
-
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),

@@ -20,7 +20,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from .jpeg_mini import decode_jpeg, encode_jpeg
+from .jpeg_mini import encode_jpeg
 
 
 def _chunk(fourcc: bytes, data: bytes) -> bytes:
