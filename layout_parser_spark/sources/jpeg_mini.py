@@ -269,11 +269,12 @@ def _decode_ac_refine(br, coef, ac_lut, ss, se, al, eobrun: int) -> int:
                 coef[k] = val
             k += 1
     if eobrun > 0:
-        while k <= se:
-            if coef[k] != 0:
-                if br.read(1) and (coef[k] & p1) == 0:
-                    coef[k] += p1 if coef[k] >= 0 else m1
-            k += 1
+        # correction bits apply only to nonzero-history coefficients —
+        # jump straight to them instead of walking the whole band (the
+        # common EOB'd-block case is ALL-zero: one numpy scan, no loop)
+        for k2 in np.flatnonzero(coef[k : se + 1]) + k:
+            if br.read(1) and (coef[k2] & p1) == 0:
+                coef[k2] += p1 if coef[k2] >= 0 else m1
         eobrun -= 1
     return eobrun
 
