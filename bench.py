@@ -451,6 +451,77 @@ a checksum aggregate; local[{CPUS}], {os.path.basename(SF_DIR)}.
     print(json.dumps({"quad_rows": n_rows, "sec": best, "runs": times}))
 
 
+def decode_main():
+    """--decode: multimodal decode-stage throughput (BENCH/DECODE.md).
+    160x120 smooth image / 1 s WAV payloads through the production
+    mapInPandas stages at local[32]; one warm-up then one timed count."""
+    import numpy as np
+
+    import layout_parser_spark as lps
+    from layout_parser_spark.operators.audio import (
+        encode_wav,
+        extract_audio_features,
+    )
+    from layout_parser_spark.operators.multimodal import (
+        encode_ppm,
+        extract_image_features,
+        media_metadata_decoded,
+    )
+    from layout_parser_spark.sources.gif_mini import encode_gif
+    from layout_parser_spark.sources.jpeg_mini import encode_jpeg
+
+    spark = lps.get_spark(
+        "decbench",
+        master="local[32]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    yy, xx = np.mgrid[0:120, 0:160]
+    img = (
+        np.stack(
+            [
+                xx * 255 / 160,
+                yy * 255 / 120,
+                128 + 100 * np.sin(xx / 9.0) * np.cos(yy / 7.0),
+            ],
+            axis=2,
+        )
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    payloads = {
+        "jpeg_420": (encode_jpeg(img, quality=80, subsampling="4:2:0"), 4000),
+        "jpeg_prog": (encode_jpeg(img, quality=80, progressive=True), 2000),
+        "gif": (encode_gif((img >> 6) << 6), 4000),
+        "ppm": (encode_ppm(img), 8000),
+        "wav_1s": (encode_wav(np.sin(np.arange(16000) / 20.0)), 8000),
+    }
+    out = {}
+    for kind, (payload, n) in payloads.items():
+        df = spark.createDataFrame(
+            [(i, bytearray(payload)) for i in range(n)],
+            "id long, payload binary",
+        ).repartition(32)
+        stage = (
+            extract_audio_features
+            if kind.startswith("wav")
+            else extract_image_features
+        )
+        stage(df).count()  # warm python workers
+        t = time.time()
+        stage(df).count()
+        full = n / (time.time() - t)
+        media_metadata_decoded(df).count()
+        t = time.time()
+        media_metadata_decoded(df).count()
+        meta = n / (time.time() - t)
+        out[kind] = {
+            "bytes": len(payload),
+            "decode_rows_per_sec": round(full, 1),
+            "header_meta_rows_per_sec": round(meta, 1),
+        }
+    print(json.dumps({"metric": "decode_stage", "formats": out, "cpus": 32}))
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
@@ -460,5 +531,7 @@ if __name__ == "__main__":
         skew_main()
     elif "--quad" in sys.argv:
         quad_main()
+    elif "--decode" in sys.argv:
+        decode_main()
     else:
         main()
