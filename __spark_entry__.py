@@ -1178,6 +1178,36 @@ GROUP BY doc_id
 """
 
 
+def q_corpus_top_ngrams(spark, sf: str) -> DataFrame:
+    """Corpus-level top-20 bigram table with a fully integer-deterministic
+    ranking (occurrences DESC, gram ASC) — no float ties across engines."""
+    from layout_parser_spark.operators.text_analysis import corpus_top_ngrams
+
+    return corpus_top_ngrams(_t(spark, sf, "documents"), n=2, k=20)
+
+
+SQL_TOP_NGRAMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), grams AS (
+  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), agg AS (
+  SELECT gram, COUNT(*) AS occurrences,
+         COUNT(DISTINCT doc_id) AS doc_frequency
+  FROM grams WHERE gram IS NOT NULL GROUP BY gram
+)
+SELECT gram, CAST(occurrences AS BIGINT) AS occurrences,
+       CAST(doc_frequency AS BIGINT) AS doc_frequency,
+       CAST(ROW_NUMBER() OVER (ORDER BY occurrences DESC, gram ASC)
+            AS INT) AS rank
+FROM agg
+QUALIFY rank <= 20
+"""
+
+
 def q_remove_boilerplate(spark, sf: str) -> DataFrame:
     """CCNet/RefinedWeb repeated-segment removal: drop every segment
     (word-delimited here — the synthetic docs are single-line) whose
@@ -1538,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "remove_boilerplate": q_remove_boilerplate,
         "docs_lm_score": q_docs_lm_score,
+        "corpus_top_ngrams": q_corpus_top_ngrams,
         "multimodal_meta": q_multimodal_meta,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1578,6 +1609,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": SQL_DECONTAMINATE,
         "remove_boilerplate": SQL_REMOVE_BOILERPLATE,
         "docs_lm_score": SQL_LM_SCORE,
+        "corpus_top_ngrams": SQL_TOP_NGRAMS,
         "multimodal_meta": SQL_MULTIMODAL,
         "dedup_embedding_cosine": SQL_EMB_DEDUP,
         "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),

@@ -185,3 +185,50 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+def corpus_top_ngrams(
+    df,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus-level top-k n-gram frequency table — the Gopher-style
+    corpus statistic behind repetition thresholds and stopword lists.
+
+    Returns (gram, occurrences, doc_frequency, rank) with a fully
+    deterministic integer ordering (occurrences DESC, gram ASC), so the
+    result is engine-independent (no float ranking ties).
+
+    Scale shape: one explode + one combinable hash aggregate, then
+    ``orderBy().limit(k)`` — Spark compiles that to
+    TakeOrderedAndProject (per-partition heap top-k + driver merge), so
+    NO full sort and no unpartitioned window ever touches the
+    vocabulary-sized gram table; only the final k rows see a window,
+    partitioned by a constant."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_rid"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    if n > 1:
+        # n-gram via self-equijoin-free window over each doc's tokens
+        w = Window.partitionBy("_rid").orderBy("pos")
+        parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+        grams = toks.select(
+            "_rid", F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].isNotNull().alias("_full"),
+        ).where(F.col("_full"))
+    else:
+        grams = toks.select("_rid", F.col("tok").alias("gram"))
+    agg = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.countDistinct("_rid").alias("doc_frequency"),
+    )
+    topk = agg.orderBy(F.desc("occurrences"), F.asc("gram")).limit(k)
+    w_rank = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("occurrences"), F.asc("gram")
+    )
+    return topk.withColumn("rank", F.row_number().over(w_rank))
