@@ -221,16 +221,21 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def _decode_png(payload: bytes) -> Optional[np.ndarray]:
-    """Non-interlaced 8-bit RGB/RGBA/grayscale PNG → uint8 (h, w, 3).
-    Public PNG spec: IHDR/IDAT chunks, zlib inflate, per-scanline filters
-    0–4 (None/Sub/Up/Average/Paeth) unfiltered vectorized per row."""
+    """Non-interlaced PNG → uint8 (h, w, 3): 8-bit RGB/RGBA/gray(+alpha),
+    palette (color 3) at 1/2/4/8-bit, sub-8-bit grayscale, and 16-bit
+    samples (high byte kept).  Public PNG spec: IHDR/PLTE/IDAT chunks,
+    zlib inflate, per-scanline filters 0–4 unfiltered per row (Sub via
+    per-lane cumsum; the byte offset for left-reference filters is the
+    per-pixel byte count, min 1, exactly as the spec defines bpp)."""
     import zlib
 
     if not payload.startswith(_PNG_SIG):
         return None
     pos = 8
     w = h = None
+    depth = color = 0
     nchan = 0
+    palette = None
     idat = []
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -241,21 +246,28 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
             w, h, depth, color, _, _, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or interlace != 0:
+            if interlace != 0 or depth not in (1, 2, 4, 8, 16):
+                return None  # Adam7 out of scope
+            nchan = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+            if nchan is None:
                 return None
-            nchan = {0: 1, 2: 3, 4: 2, 6: 4}.get(color, 0)
-            if nchan == 0:  # palette images unsupported
-                return None
+            if depth < 8 and color not in (0, 3):
+                return None  # sub-byte only for gray/palette per spec
+            if depth == 16 and color == 3:
+                return None  # invalid combination
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
             break
-    if not idat or w is None:
+    if not idat or w is None or (color == 3 and palette is None):
         return None
     raw = zlib.decompress(b"".join(idat))
-    stride = w * nchan
+    stride = (w * nchan * depth + 7) // 8
     if len(raw) < h * (stride + 1):
         return None
+    bpp = max(1, nchan * depth // 8)  # left-reference byte offset (spec)
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     off = 0
@@ -267,9 +279,9 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
             cur = line.copy()
         elif ftype == 2:  # Up
             cur = line + prev
-        elif ftype == 1:  # Sub: per-channel-lane running sum, mod 256
+        elif ftype == 1:  # Sub: per-byte-lane running sum, mod 256
             cur = np.cumsum(
-                line.reshape(-1, nchan), axis=0, dtype=np.uint8
+                line.reshape(-1, bpp), axis=0, dtype=np.uint8
             ).reshape(-1)
         else:  # Average/Paeth: sequential left dependency; python-list
             # loop is ~5× faster than per-item numpy indexing
@@ -278,13 +290,13 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
             cur_l = [0] * stride
             if ftype == 3:
                 for i in range(stride):
-                    a = cur_l[i - nchan] if i >= nchan else 0
+                    a = cur_l[i - bpp] if i >= bpp else 0
                     cur_l[i] = (lin[i] + ((a + pre[i]) >> 1)) & 0xFF
             else:  # Paeth
                 for i in range(stride):
-                    a = cur_l[i - nchan] if i >= nchan else 0
+                    a = cur_l[i - bpp] if i >= bpp else 0
                     b = pre[i]
-                    c = pre[i - nchan] if i >= nchan else 0
+                    c = pre[i - bpp] if i >= bpp else 0
                     pa = b - c if b >= c else c - b
                     pb = a - c if a >= c else c - a
                     t = a + b - 2 * c
@@ -294,12 +306,32 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
             cur = np.asarray(cur_l, dtype=np.uint8)
         out[r] = cur
         prev = cur
-    arr = out.reshape(h, w, nchan)
-    if nchan == 1:
+
+    if depth == 16:  # keep the high byte of each big-endian sample
+        arr = out.reshape(h, w * nchan, 2)[:, :, 0].reshape(h, w, nchan)
+    elif depth < 8:  # sub-byte gray or palette indices, MSB-first packing
+        bits = np.unpackbits(out, axis=1)[:, : w * depth]
+        vals = bits.reshape(h, w, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        idx = (vals * weights).sum(axis=2).astype(np.uint8)
+        if color == 3:
+            arr = palette[np.minimum(idx, len(palette) - 1)]
+            return np.ascontiguousarray(arr)
+        # grayscale: expand to full 0-255 range per spec sample scaling
+        arr = (idx.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )[:, :, None]
+    else:
+        arr = out.reshape(h, w, nchan)
+    if color == 3:  # 8-bit palette indices
+        return np.ascontiguousarray(
+            palette[np.minimum(arr[:, :, 0], len(palette) - 1)]
+        )
+    if arr.shape[2] == 1:
         arr = np.repeat(arr, 3, axis=2)
-    elif nchan == 2:  # gray+alpha
+    elif arr.shape[2] == 2:  # gray+alpha
         arr = np.repeat(arr[:, :, :1], 3, axis=2)
-    elif nchan == 4:
+    elif arr.shape[2] == 4:
         arr = arr[:, :, :3]
     return np.ascontiguousarray(arr)
 

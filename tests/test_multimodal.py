@@ -189,3 +189,53 @@ def test_png_decode_rgba_drops_alpha():
     )
     out = decode_pixels(_png_bytes(rgba, filter_type=4, color=6))
     assert np.array_equal(out, rgb)
+
+
+def _png_chunks(ihdr_fields, extra_chunks, raw_rows):
+    """Assemble a PNG from raw (already filtered) scanline bytes."""
+    import struct as _s
+    import zlib as _z
+
+    def chunk(t, d):
+        return _s.pack(">I", len(d)) + t + d + _s.pack(">I", _z.crc32(t + d))
+
+    ihdr = _s.pack(">IIBBBBB", *ihdr_fields)
+    body = b"".join(chunk(*c) for c in extra_chunks)
+    idat = _z.compress(b"".join(b"\x00" + r for r in raw_rows))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + body
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def test_png_palette_8bit():
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 7, 7]], np.uint8)
+    idx = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 1], [1, 1, 2, 2, 3]], np.uint8)
+    png = _png_chunks((5, 3, 8, 3, 0, 0, 0), [(b"PLTE", pal.tobytes())],
+                      [idx[r].tobytes() for r in range(3)])
+    assert np.array_equal(decode_pixels(png), pal[idx])
+
+
+def test_png_palette_4bit():
+    pal = np.array([[10, 20, 30], [40, 50, 60], [70, 80, 90]], np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)  # odd width: pad bits
+    rows = [bytes([(r[0] << 4) | r[1], r[2] << 4]) for r in idx]
+    png = _png_chunks((3, 2, 4, 3, 0, 0, 0), [(b"PLTE", pal.tobytes())], rows)
+    assert np.array_equal(decode_pixels(png), pal[idx])
+
+
+def test_png_gray_1bit():
+    bits = np.array([[1, 0, 1, 1, 0, 0, 1, 0, 1, 1]], np.uint8)  # w=10
+    rows = [np.packbits(bits[0]).tobytes()]
+    png = _png_chunks((10, 1, 1, 0, 0, 0, 0), [], rows)
+    out = decode_pixels(png)
+    assert out.shape == (1, 10, 3)
+    assert np.array_equal(out[0, :, 0], bits[0] * 255)
+
+
+def test_png_rgb_16bit():
+    arr = _grad(4, 6)
+    # value = (v << 8) | noise, stored big-endian (shift in native first:
+    # numpy ops return native-endian regardless of input byte order)
+    hi = ((arr.astype(np.uint16) << 8) | 0x37).astype(">u2")
+    rows = [hi[r].tobytes() for r in range(4)]
+    png = _png_chunks((6, 4, 16, 2, 0, 0, 0), [], rows)
+    assert np.array_equal(decode_pixels(png), arr)
