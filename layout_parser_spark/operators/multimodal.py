@@ -220,58 +220,14 @@ def _decode_bmp(payload: bytes) -> Optional[np.ndarray]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _decode_png(payload: bytes) -> Optional[np.ndarray]:
-    """Non-interlaced PNG → uint8 (h, w, 3): 8-bit RGB/RGBA/gray(+alpha),
-    palette (color 3) at 1/2/4/8-bit, sub-8-bit grayscale, and 16-bit
-    samples (high byte kept).  Public PNG spec: IHDR/PLTE/IDAT chunks,
-    zlib inflate, per-scanline filters 0–4 unfiltered per row (Sub via
-    per-lane cumsum; the byte offset for left-reference filters is the
-    per-pixel byte count, min 1, exactly as the spec defines bpp)."""
-    import zlib
-
-    if not payload.startswith(_PNG_SIG):
-        return None
-    pos = 8
-    w = h = None
-    depth = color = 0
-    nchan = 0
-    palette = None
-    idat = []
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if ctype == b"IHDR":
-            w, h, depth, color, _, _, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if interlace != 0 or depth not in (1, 2, 4, 8, 16):
-                return None  # Adam7 out of scope
-            nchan = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-            if nchan is None:
-                return None
-            if depth < 8 and color not in (0, 3):
-                return None  # sub-byte only for gray/palette per spec
-            if depth == 16 and color == 3:
-                return None  # invalid combination
-        elif ctype == b"PLTE":
-            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-    if not idat or w is None or (color == 3 and palette is None):
-        return None
-    raw = zlib.decompress(b"".join(idat))
-    stride = (w * nchan * depth + 7) // 8
-    if len(raw) < h * (stride + 1):
-        return None
-    bpp = max(1, nchan * depth // 8)  # left-reference byte offset (spec)
-    out = np.empty((h, stride), dtype=np.uint8)
+def _png_unfilter(raw: bytes, off: int, hh: int, stride: int, bpp: int):
+    """Unfilter ``hh`` scanlines of ``stride`` bytes starting at ``off``
+    (each prefixed by its filter byte): filters 0–4, Sub via per-lane
+    uint8 cumsum, Average/Paeth via a python-list loop (faster than
+    per-item numpy indexing).  Returns ((hh, stride) array, next off)."""
+    out = np.empty((hh, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    off = 0
-    for r in range(h):
+    for r in range(hh):
         ftype = raw[off]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
         off += stride + 1
@@ -279,12 +235,11 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
             cur = line.copy()
         elif ftype == 2:  # Up
             cur = line + prev
-        elif ftype == 1:  # Sub: per-byte-lane running sum, mod 256
+        elif ftype == 1:  # Sub
             cur = np.cumsum(
                 line.reshape(-1, bpp), axis=0, dtype=np.uint8
             ).reshape(-1)
-        else:  # Average/Paeth: sequential left dependency; python-list
-            # loop is ~5× faster than per-item numpy indexing
+        else:  # Average/Paeth
             lin = line.tolist()
             pre = prev.tolist()
             cur_l = [0] * stride
@@ -306,6 +261,83 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
             cur = np.asarray(cur_l, dtype=np.uint8)
         out[r] = cur
         prev = cur
+    return out, off
+
+
+#: Adam7 pass geometry: (x_start, x_step, y_start, y_step)
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def _decode_png(payload: bytes) -> Optional[np.ndarray]:
+    """PNG → uint8 (h, w, 3): 8-bit RGB/RGBA/gray(+alpha), palette
+    (color 3) at 1/2/4/8-bit, sub-8-bit grayscale, 16-bit samples (high
+    byte kept), and Adam7 interlacing for ≥8-bit depths.  Public PNG
+    spec: IHDR/PLTE/IDAT chunks, zlib inflate, per-scanline filters 0–4
+    (the left-reference offset is the spec's per-pixel byte count bpp,
+    min 1)."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos = 8
+    w = h = None
+    depth = color = 0
+    nchan = 0
+    palette = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if interlace not in (0, 1) or depth not in (1, 2, 4, 8, 16):
+                return None
+            if interlace == 1 and depth < 8:
+                return None  # sub-byte Adam7: rare, out of scope
+            adam7 = interlace == 1
+            nchan = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+            if nchan is None:
+                return None
+            if depth < 8 and color not in (0, 3):
+                return None  # sub-byte only for gray/palette per spec
+            if depth == 16 and color == 3:
+                return None  # invalid combination
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if not idat or w is None or (color == 3 and palette is None):
+        return None
+    raw = zlib.decompress(b"".join(idat))
+    bpp = max(1, nchan * depth // 8)  # left-reference byte offset (spec)
+    if not adam7:
+        stride = (w * nchan * depth + 7) // 8
+        if len(raw) < h * (stride + 1):
+            return None
+        out, _ = _png_unfilter(raw, 0, h, stride, bpp)
+    else:
+        # Adam7: 7 independently-filtered sub-images scattered onto the
+        # final grid by (start, step) geometry; depth >= 8 guaranteed
+        pxb = nchan * depth // 8
+        out = np.zeros((h, w * pxb), dtype=np.uint8)
+        full = out.reshape(h, w, pxb)
+        off = 0
+        for x0, dx, y0, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = _png_unfilter(raw, off, ph, pw * pxb, bpp)
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, pxb)
 
     if depth == 16:  # keep the high byte of each big-endian sample
         arr = out.reshape(h, w * nchan, 2)[:, :, 0].reshape(h, w, nchan)

@@ -239,3 +239,17 @@ def test_png_rgb_16bit():
     rows = [hi[r].tobytes() for r in range(4)]
     png = _png_chunks((6, 4, 16, 2, 0, 0, 0), [], rows)
     assert np.array_equal(decode_pixels(png), arr)
+
+
+def test_png_adam7_interlaced():
+    from layout_parser_spark.operators.multimodal import _ADAM7
+
+    arr = _grad(13, 11)  # non-multiple-of-8 dims exercise partial passes
+    rows = []
+    for x0, dx, y0, dy in _ADAM7:
+        sub = arr[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        rows.extend(sub[r].tobytes() for r in range(sub.shape[0]))
+    png = _png_chunks((11, 13, 8, 2, 0, 0, 1), [], rows)
+    assert np.array_equal(decode_pixels(png), arr)
