@@ -299,6 +299,11 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
             )
             if interlace not in (0, 1) or depth not in (1, 2, 4, 8, 16):
                 return None
+            # allocation bound: absolute cap + payload-proportional one
+            # (zlib expands at most ~1032x, so legit pixels stay within
+            # ~1024 bytes-of-payload x expansion even for solid images)
+            if w * h > (1 << 26) or w * h > 1024 * len(payload):
+                return None
             if interlace == 1 and depth < 8:
                 return None  # sub-byte Adam7: rare, out of scope
             adam7 = interlace == 1
@@ -328,6 +333,15 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
         # Adam7: 7 independently-filtered sub-images scattered onto the
         # final grid by (start, step) geometry; depth >= 8 guaranteed
         pxb = nchan * depth // 8
+        expected = sum(
+            ph * (pw * pxb + 1)
+            for x0, dx, y0, dy in _ADAM7
+            for pw, ph in [((w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)]
+            if pw > 0 and ph > 0
+        )
+        if len(raw) < expected:
+            # corrupt dims would otherwise drive a giant allocation below
+            return None
         out = np.zeros((h, w * pxb), dtype=np.uint8)
         full = out.reshape(h, w, pxb)
         off = 0

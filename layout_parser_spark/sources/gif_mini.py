@@ -24,6 +24,8 @@ import numpy as np
 
 
 def _lzw_decode(data: bytes, min_code: int, npix: int) -> List[int]:
+    if not 1 <= min_code <= 11:  # spec: codes are at most 12 bits —
+        return []  # a corrupt size would build a 2^min_code table
     clear = 1 << min_code
     end = clear + 1
     out: List[int] = []
@@ -142,10 +144,20 @@ def decode_gif_frames(
         return None
 
 
+#: refuse canvases beyond 64M pixels — bounds allocations against
+#: corrupt/hostile headers (any sane web asset is far below; 8K video
+#: frames are 33M)
+_MAX_PIXELS = 1 << 26
+
+
 def _decode_gif_inner(payload: bytes):
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     w, h, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    # absolute cap plus payload-proportional (LZW's run-length growth
+    # tops out near 2048 pixels/byte for pathological-but-legal solids)
+    if w * h > _MAX_PIXELS or w * h > 2048 * len(payload):
+        return None
     pos = 13
     global_pal = None
     if packed & 0x80:
@@ -190,6 +202,8 @@ def _decode_gif_inner(payload: bytes):
                 "<HHHHB", payload, pos
             )
             pos += 9
+            if iw * ih > _MAX_PIXELS or iw * ih > 2048 * len(payload):
+                return None
             pal = global_pal
             if ipacked & 0x80:
                 n = 2 << (ipacked & 7)
@@ -208,9 +222,13 @@ def _decode_gif_inner(payload: bytes):
                 pos += 1 + ln
             pos += 1
             idx = _lzw_decode(bytes(data), min_code, iw * ih)
-            if len(idx) < iw * ih:
-                idx += [0] * (iw * ih - len(idx))
-            grid = np.asarray(idx[: iw * ih], np.int32).reshape(ih, iw)
+            # pad short (corrupt/truncated) streams in numpy, never with
+            # a python list — [0] * (iw*ih) is a pointer-array bomb when
+            # the descriptor claims a huge frame
+            grid = np.zeros(iw * ih, np.int32)
+            n_have = min(len(idx), iw * ih)
+            grid[:n_have] = idx[:n_have]
+            grid = grid.reshape(ih, iw)
             if ipacked & 0x40:
                 grid = _deinterlace(grid)
             rgb = pal[np.clip(grid, 0, len(pal) - 1)]

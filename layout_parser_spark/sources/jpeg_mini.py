@@ -423,6 +423,12 @@ def _decode_jpeg_inner(payload: bytes) -> Optional[np.ndarray]:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 return None
+            # allocation bound vs corrupt headers: absolute cap plus a
+            # payload-proportional one (a real scan spends >= ~3 bits per
+            # 64-pixel block, so pixels <= 256*bytes covers even solid-
+            # color extremes while rejecting flipped-dim garbage cheaply)
+            if h * w > (1 << 26) or h * w > 256 * len(payload):
+                return None
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)

@@ -60,6 +60,34 @@ def _png_bytes(arr):
     )
 
 
+def _chunk(t, d):
+    return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+
+def _png_palette_bytes():
+    pal = bytes(range(48))  # 16 RGB entries
+    rows = [bytes([i % 16 for i in range(20)]) for _ in range(9)]
+    ihdr = struct.pack(">IIBBBBB", 20, 9, 8, 3, 0, 0, 0)
+    idat = zlib.compress(b"".join(b"\x00" + r for r in rows))
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", pal) + _chunk(b"IDAT", idat)
+            + _chunk(b"IEND", b""))
+
+
+def _png_adam7_bytes(img):
+    from layout_parser_spark.operators.multimodal import _ADAM7
+
+    h, w = img.shape[:2]
+    rows = []
+    for x0, dx, y0, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        rows.extend(sub[r].tobytes() for r in range(sub.shape[0]))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    idat = zlib.compress(b"".join(b"\x00" + r for r in rows))
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", idat) + _chunk(b"IEND", b""))
+
+
 @pytest.fixture(scope="module")
 def corpus():
     rng = np.random.default_rng(42)
@@ -70,6 +98,8 @@ def corpus():
         "avi": encode_avi_mjpeg([img, img]),
         "wav": encode_wav(np.sin(np.arange(800) / 20.0)),
         "png": _png_bytes(img),
+        "png_pal": _png_palette_bytes(),
+        "png_adam7": _png_adam7_bytes(img),
         "ppm": encode_ppm(img),
         "gif": encode_gif((img >> 6) << 6),  # 4^3 = 64 colors max
     }
