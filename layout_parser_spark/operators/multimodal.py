@@ -104,6 +104,20 @@ def media_metadata_decoded(
     passthrough = df.schema.fields
     schema = StructType(list(passthrough) + [StructField(out_col, MEDIA_META, True)])
 
+    def classify(raw: bytes):
+        """(media_type, (h, w) or None) from format headers only."""
+        dims = image_dimensions(raw)
+        if dims:
+            return "image", dims
+        if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+            return "audio", None
+        if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+            from ..sources.avi_mini import probe_avi
+
+            p = probe_avi(raw)
+            return "video", (p[0], p[1]) if p else None
+        return "binary", None
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
@@ -114,10 +128,10 @@ def media_metadata_decoded(
                     metas.append(None)
                     continue
                 raw = bytes(payload)
-                dims = image_dimensions(raw)
+                mtype, dims = classify(raw)
                 metas.append(
                     {
-                        "media_type": "image" if dims else "binary",
+                        "media_type": mtype,
                         "byte_len": len(raw),
                         "digest": hashlib.md5(raw).hexdigest(),
                         "width": dims[1] if dims else None,

@@ -104,7 +104,7 @@ def test_media_metadata_decoded_and_audio_stage(spark):
     rows = {r.id: r.meta for r in media_metadata_decoded(df).collect()}
     assert (rows["a"].height, rows["a"].width) == (5, 9)
     assert (rows["b"].height, rows["b"].width) == (6, 4)
-    assert rows["c"].media_type == "binary" and rows["c"].width is None
+    assert rows["c"].media_type == "audio" and rows["c"].width is None
     assert rows["d"] is None
 
     arows = {r.id: r.audio for r in extract_audio_features(df).collect()}
@@ -112,3 +112,15 @@ def test_media_metadata_decoded_and_audio_stage(spark):
     assert arows["c"].sample_rate == RATE
     assert abs(arows["c"].duration_s - 0.02) < 1e-9
     assert arows["d"] is None
+
+
+def test_media_metadata_classifies_video(spark):
+    from layout_parser_spark.sources.avi_mini import encode_avi_mjpeg
+
+    avi = encode_avi_mjpeg([np.zeros((6, 8, 3), np.uint8)] * 2, fps=4)
+    df = spark.createDataFrame(
+        [("v", bytearray(avi))], "id string, payload binary"
+    )
+    (row,) = media_metadata_decoded(df).collect()
+    assert row.meta.media_type == "video"
+    assert (row.meta.height, row.meta.width) == (6, 8)
