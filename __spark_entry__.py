@@ -1245,6 +1245,52 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
 
 
+def q_dedup_exact_substring(spark, sf: str) -> DataFrame:
+    """Lee-et-al-style exact-substring dedup: every 3-token span whose
+    text occurs more than once in the corpus is removed from all its
+    occurrences (n=3 because the synthetic vocabulary is tiny;
+    production uses n≈50)."""
+    from layout_parser_spark.operators.dedup import duplicated_span_removal
+
+    return duplicated_span_removal(_t(spark, sf, "documents"), n=3)
+
+
+SQL_EXACT_SUBSTRING = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+), grams AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), full_grams AS (
+  SELECT doc_id, pos, g FROM grams WHERE g IS NOT NULL
+), dup AS (
+  SELECT g FROM full_grams GROUP BY g HAVING COUNT(*) > 1
+), covered AS (
+  SELECT DISTINCT f.doc_id,
+         unnest(generate_series(f.pos, f.pos + 2)) AS pos
+  FROM full_grams f JOIN dup USING (g)
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t LEFT JOIN covered c
+    ON c.doc_id = t.doc_id AND c.pos = t.pos
+  WHERE c.doc_id IS NULL
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0)
+            AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 def q_multimodal_meta(spark, sf: str) -> DataFrame:
     """Opaque-binary handling: metadata of a binary payload column."""
     d = _t(spark, sf, "documents").withColumn(
@@ -1569,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_boilerplate": q_remove_boilerplate,
         "docs_lm_score": q_docs_lm_score,
         "corpus_top_ngrams": q_corpus_top_ngrams,
+        "dedup_exact_substring": q_dedup_exact_substring,
         "multimodal_meta": q_multimodal_meta,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1610,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_boilerplate": SQL_REMOVE_BOILERPLATE,
         "docs_lm_score": SQL_LM_SCORE,
         "corpus_top_ngrams": SQL_TOP_NGRAMS,
+        "dedup_exact_substring": SQL_EXACT_SUBSTRING,
         "multimodal_meta": SQL_MULTIMODAL,
         "dedup_embedding_cosine": SQL_EMB_DEDUP,
         "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),

@@ -648,3 +648,79 @@ def repeated_line_removal(
             - F.coalesce(F.col("n_kept"), F.lit(0))
         ).alias("n_dropped"),
     )
+
+
+def duplicated_span_removal(
+    df: DataFrame,
+    n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring deduplication in the style of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): any
+    n-token span whose exact text occurs more than once in the corpus
+    (across documents or repeated within one) is removed from every
+    occurrence; the surviving tokens reassemble in order.
+
+    Returns (id, clean_text, n_kept, n_removed).  Production uses
+    n≈50; tests use small n so the synthetic corpus has collisions.
+
+    Scale shape (the suffix-array of the paper re-expressed as joins):
+    gram staging is one per-doc window, duplicate detection one
+    combinable count on the gram, the occurrence join an equi-join on
+    the gram, and coverage expansion an explode + distinct + anti-join
+    on (doc, position) — every shuffle is an equi-shuffle; nothing is
+    quadratic in the corpus.  For 10^12 docs, hash the gram to an md5
+    lane for the count/join keys (16-byte shuffle keys) exactly as the
+    MinHash family above does."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = toks.select(
+        "id", "pos", F.concat_ws(" ", *parts).alias("g"),
+        parts[-1].isNotNull().alias("_full"),
+    ).where(F.col("_full"))
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") > 1)
+        .select("g")
+    )
+    covered = (
+        grams.join(dup, on="g")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, on=["id", "pos"], how="left_anti")
+    agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), " ")).alias("_n"),
+    )
+    return base.join(agg, on="id", how="left").select(
+        "id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (
+            F.col("_n").cast("long") - F.coalesce(F.col("n_kept"), F.lit(0))
+        ).alias("n_removed"),
+    )

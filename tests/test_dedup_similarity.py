@@ -315,3 +315,27 @@ def test_repeated_line_removal_preserves_order(spark):
     for i in range(5):
         assert out[i].clean_text == f"u{i}a\nu{i}b\nu{i}c"
         assert out[i].n_dropped == 2
+
+
+def test_duplicated_span_removal(spark):
+    from layout_parser_spark.operators.dedup import duplicated_span_removal
+
+    spam = "click here to subscribe now"  # 5 tokens, shared verbatim
+    docs = [
+        (0, f"alpha beta gamma {spam} delta0"),
+        (1, f"{spam} epsilon zeta eta theta1"),
+        (2, "totally unique content with no repeats at all"),
+        (3, f"{spam}"),  # nothing but the duplicated span
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.id: r for r in duplicated_span_removal(df, n=5).collect()}
+    # the 5-token spam span occurs in docs 0, 1, 3 -> removed everywhere;
+    # n=5 windows also cover tokens overlapping the span boundary
+    assert spam.split()[0] not in out[0].clean_text
+    assert out[2].clean_text == docs[2][1]  # unique doc untouched
+    assert out[2].n_removed == 0
+    assert out[3].clean_text == "" and out[3].n_removed == 5
+    # every kept token order-preserved and from the original
+    assert out[0].clean_text.startswith("alpha beta gamma")
+    total = out[0].n_kept + out[0].n_removed
+    assert total == len(docs[0][1].split())
