@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (38/38): the hash-based family
+Every query has an oracle entry (39/39): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
