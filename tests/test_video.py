@@ -79,3 +79,46 @@ def test_crop_blocks_jpeg_encode(spark):
     assert abs(float(arr.mean()) - 200) < 3
     with pytest.raises(ValueError):
         crop_image_blocks(df, encode_fmt="webp")
+
+
+def test_image_phash_near_dup_pipeline(spark):
+    """pHash end-to-end: same content re-encoded (formats/qualities)
+    pairs up within hamming<=3; distinct images do not."""
+    from layout_parser_spark.operators.phash import image_phash, phash_near_dup_pairs
+    from layout_parser_spark.sources.jpeg_mini import encode_jpeg
+
+    # textured like a real photo: pHash's median-threshold bits are only
+    # stable when the low-freq spectrum has real energy (ultra-smooth
+    # synthetic ramps leave half the coefficients at sign-of-noise)
+    yy, xx = np.mgrid[0:120, 0:160]
+    base = (
+        np.stack(
+            [
+                xx * 255 / 160,
+                yy * 255 / 120,
+                128 + 100 * np.sin(xx / 9.0) * np.cos(yy / 7.0),
+            ],
+            axis=2,
+        )
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    rng = np.random.default_rng(8)
+    other = rng.integers(0, 256, (60, 80, 3), dtype=np.uint8)
+    rows = [
+        ("a_ppm", bytearray(encode_ppm(base))),
+        ("a_jpg", bytearray(encode_jpeg(base, quality=92))),
+        ("a_prog", bytearray(encode_jpeg(base, quality=85, progressive=True))),
+        ("b_other", bytearray(encode_ppm(other))),
+        ("c_bad", bytearray(b"\x00" * 40)),  # undecodable: no row
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    hashed = image_phash(df)
+    assert hashed.count() == 4  # c_bad dropped
+    pairs = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in phash_near_dup_pairs(hashed).collect()
+    }
+    assert ("a_jpg", "a_ppm") in pairs
+    assert ("a_ppm", "a_prog") in pairs or ("a_prog", "a_ppm") in pairs
+    assert not any("b_other" in p for p in pairs)
