@@ -152,3 +152,113 @@ def extract_audio_features(
             yield out
 
     return df.mapInPandas(gen, schema=schema)
+
+
+# --- audio fingerprinting (Haitsma-Kalker style, public recipe) ----------
+
+_FP_FRAME = 2048
+_FP_HOP = 1024
+_FP_BANDS = 17  # 17 edges -> 16 band energies -> 15 difference bits
+_FP_LO, _FP_HI = 300.0, 3000.0
+
+
+def audio_fingerprint(payload: bytes):
+    """WAV bytes → (frame_bits list[15-bit ints], summary int64) or
+    None.  Per frame: FFT magnitude → 16 log-spaced band energies in
+    300–3000 Hz → bit b = sign of the time- and band-difference
+    (E[t,b]−E[t,b+1]) − (E[t−1,b]−E[t−1,b+1]) — the classic robust
+    fingerprint, invariant to uniform gain and PCM re-quantization.
+
+    The 64-bit summary majority-votes each of the 15 bits over 4
+    temporal quarters (temporal structure survives, frame jitter does
+    not), so near-dup pairing reuses the same 4×16-bit pigeonhole
+    equi-join as ``phash.phash_near_dup_pairs``.
+
+    Scope: the summary pairs exact and mild re-encodes (gain changes,
+    16/32-bit requantization) at hamming ≤ 3.  HEAVY transcodes (8-bit
+    PCM at −48 dB noise floor, lossy codecs) flip bits in quiet frames
+    and need BER-tolerant matching over the per-frame code sequence
+    (Chromaprint-style), which is why the frame codes are returned
+    alongside the summary."""
+    dec = decode_wav(payload)
+    if dec is None:
+        return None
+    rate, _ch, x = dec
+    mono = x.mean(axis=1)
+    n_frames = (len(mono) - _FP_FRAME) // _FP_HOP + 1
+    if n_frames < 2:
+        return None
+    edges = np.exp(
+        np.linspace(np.log(_FP_LO), np.log(_FP_HI), _FP_BANDS)
+    )
+    bins = np.clip(
+        (edges * _FP_FRAME / rate).astype(int), 1, _FP_FRAME // 2
+    )
+    win = np.hanning(_FP_FRAME)
+    energies = np.empty((n_frames, _FP_BANDS - 1))
+    for t in range(n_frames):
+        seg = mono[t * _FP_HOP : t * _FP_HOP + _FP_FRAME] * win
+        mag = np.abs(np.fft.rfft(seg)) ** 2
+        for b in range(_FP_BANDS - 1):
+            energies[t, b] = mag[bins[b] : max(bins[b] + 1, bins[b + 1])].sum()
+    d = np.diff(energies, axis=1)          # E[t,b] - E[t,b+1]  (15 diffs)
+    dd = d[1:] - d[:-1]                    # minus previous frame's
+    bits = (dd > 0).astype(np.int64)       # (n_frames-1, 15)
+    frame_bits = [
+        int((row * (1 << np.arange(row.size))).sum()) for row in bits
+    ]
+    # summary: majority vote per bit over 4 temporal quarters
+    q = max(1, len(bits) // 4)
+    summary = 0
+    for qi in range(4):
+        chunk = bits[qi * q : (qi + 1) * q] if qi < 3 else bits[3 * q :]
+        if len(chunk) == 0:
+            chunk = bits[-1:]
+        maj = (chunk.sum(axis=0) * 2 >= len(chunk)).astype(np.int64)
+        code = int((maj * (1 << np.arange(maj.size))).sum())
+        summary |= code << (16 * qi)
+    if summary >= (1 << 63):
+        summary -= 1 << 64
+    return frame_bits, summary
+
+
+def extract_audio_fingerprints(
+    df: DataFrame, payload_col: str = "payload", key_cols: tuple = ("url",)
+) -> DataFrame:
+    """Decode + fingerprint inside one Arrow stage → (keys, afp int64,
+    codes array<int>); non-WAV/too-short payloads emit no row.  Summary
+    near-dup pairing: ``phash.phash_near_dup_pairs(out, hash_col="afp",
+    id_col=...)``; the per-frame codes are the input for BER-tolerant
+    sequence matching of heavy transcodes."""
+    from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+    key_fields = [df.schema[c] for c in key_cols]
+    schema = StructType(
+        list(key_fields)
+        + [
+            StructField("afp", LongType(), True),
+            StructField("codes", ArrayType(IntegerType()), True),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                fp = (
+                    audio_fingerprint(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if fp is None:
+                    continue
+                frames, summary = fp
+                recs.append(
+                    tuple(row[c] for c in key_cols) + (summary, frames)
+                )
+            yield pd.DataFrame(
+                recs, columns=list(key_cols) + ["afp", "codes"]
+            )
+
+    return df.mapInPandas(gen, schema=schema)

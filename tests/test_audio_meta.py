@@ -124,3 +124,60 @@ def test_media_metadata_classifies_video(spark):
     (row,) = media_metadata_decoded(df).collect()
     assert row.meta.media_type == "video"
     assert (row.meta.height, row.meta.width) == (6, 8)
+
+
+def _melody(notes, dur=0.25):
+    out = []
+    for f in notes:
+        t = np.arange(int(RATE * dur)) / RATE
+        env = np.minimum(1, 10 * t) * np.exp(-3 * t)
+        out.append(
+            0.6 * env * np.sin(2 * np.pi * f * t)
+            + 0.25 * env * np.sin(2 * np.pi * 2 * f * t)
+        )
+    return np.concatenate(out)
+
+
+def test_audio_fingerprint_invariances():
+    from layout_parser_spark.operators.audio import audio_fingerprint
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    tune = _melody([440, 494, 523, 587, 659, 587, 523, 494])
+    codes, s = audio_fingerprint(encode_wav(tune, RATE))
+    assert len(codes) > 20 and all(0 <= c < (1 << 15) for c in codes)
+    _, s_gain = audio_fingerprint(encode_wav(tune * 0.4, RATE))
+    assert ham(s, s_gain) <= 3  # gain invariance
+    _, s_same = audio_fingerprint(encode_wav(tune, RATE))
+    assert s_same == s  # deterministic
+    _, s_other = audio_fingerprint(
+        encode_wav(_melody([330, 349, 392, 440, 392, 349, 330, 294]), RATE)
+    )
+    assert ham(s, s_other) > 10  # different melody separates
+    assert audio_fingerprint(encode_wav(tune[:1000], RATE)) is None  # short
+
+
+def test_audio_fingerprint_pairing(spark):
+    from layout_parser_spark.operators.audio import extract_audio_fingerprints
+    from layout_parser_spark.operators.phash import phash_near_dup_pairs
+
+    tune = _melody([440, 494, 523, 587, 659, 587, 523, 494])
+    other = _melody([330, 349, 392, 440, 392, 349, 330, 294])
+    df = spark.createDataFrame(
+        [
+            ("t_orig", bytearray(encode_wav(tune, RATE))),
+            ("t_gain", bytearray(encode_wav(tune * 0.5, RATE))),
+            ("o_other", bytearray(encode_wav(other, RATE))),
+            ("bad", bytearray(b"\x00" * 50)),
+        ],
+        "url string, payload binary",
+    )
+    fps = extract_audio_fingerprints(df)
+    assert fps.count() == 3  # bad dropped
+    pairs = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in phash_near_dup_pairs(fps, hash_col="afp").collect()
+    }
+    assert ("t_gain", "t_orig") in pairs
+    assert not any("o_other" in p for p in pairs)
