@@ -117,13 +117,26 @@ def phash_near_dup_pairs(
     hash_col: str = "phash",
     id_col: str = "url",
     max_hamming: int = 3,
+    n_chunks: int = 4,
 ) -> DataFrame:
-    """Candidate pairing on 16-bit chunks (4-way pigeonhole: hamming ≤ 3
-    guarantees a shared chunk), exact hamming verify via bit_count(xor).
-    Same scale shape as simhash_buckets: equi-join, MERGE-hinted so the
-    exploded sides never broadcast."""
-    if max_hamming > 3:
-        raise ValueError("4x16-bit pigeonhole guarantees only hamming <= 3")
+    """Candidate pairing on (64/n_chunks)-bit chunks — the pigeonhole
+    guarantees every pair within hamming ≤ n_chunks−1 shares a chunk —
+    then exact hamming verify via bit_count(xor).  Same scale shape as
+    simhash_buckets: equi-join, MERGE-hinted so the exploded sides never
+    broadcast.
+
+    Radius/scale tradeoff: wider radii need more (smaller) chunks, and
+    bucket occupancy grows ~n/2^chunk_bits — 16-bit chunks (radius 3)
+    stay sparse at corpus scale, 8-bit chunks (radius 7) are for bounded
+    collections or pre-blocked corpora."""
+    if 64 % n_chunks:
+        raise ValueError("n_chunks must divide 64")
+    bpc = 64 // n_chunks
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"{n_chunks}x{bpc}-bit pigeonhole guarantees only "
+            f"hamming <= {n_chunks - 1}"
+        )
     chunks = df.select(
         F.col(id_col).alias("id"),
         F.col(hash_col).alias("ph"),
@@ -132,11 +145,11 @@ def phash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.shiftright(F.col(hash_col), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col(hash_col), bpc * i)
+                        .bitwiseAND(F.lit((1 << bpc) - 1))
                         .alias("chunk"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),
@@ -159,3 +172,93 @@ def phash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def video_phash_summary(frames_hashes) -> Optional[int]:
+    """Frame-pHash sequence → one 64-bit video signature: split the
+    frames into 4 temporal quarters; for each quarter, majority-vote the
+    frame hashes bit-wise and keep the low 16 bits of the result as that
+    quarter's chunk.  The signature therefore carries temporal structure
+    (a re-ordered video differs) while tolerating frame jitter, and
+    pairs through the same 4×16-bit pigeonhole join as image pHash."""
+    if not frames_hashes:
+        return None
+    bits = np.array(
+        [
+            [(int(h) >> b) & 1 for b in range(64)]
+            for h in frames_hashes
+        ],
+        dtype=np.int64,
+    )
+    q = max(1, len(bits) // 4)
+    out = 0
+    for qi in range(4):
+        chunk = bits[qi * q : (qi + 1) * q] if qi < 3 else bits[3 * q :]
+        if len(chunk) == 0:
+            chunk = bits[-1:]
+        maj = (chunk.sum(axis=0) * 2 >= len(chunk)).astype(np.int64)
+        code = int((maj[:16] * (1 << np.arange(16))).sum())
+        out |= code << (16 * qi)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def video_phash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    key_cols: tuple = ("url",),
+    n_frames: int = 8,
+) -> DataFrame:
+    """MJPEG-AVI / animated-GIF payload → 64-bit video signature built
+    from evenly-sampled frame pHashes (decode + hash in one Arrow
+    stage).  Near-dup pairing: ``phash_near_dup_pairs(out,
+    hash_col="vhash")``."""
+    from ..sources.avi_mini import decode_avi_frames
+    from ..sources.gif_mini import decode_gif_frames
+    from ..sources.jpeg_mini import decode_jpeg
+    from pyspark.sql.types import LongType
+
+    key_fields = [df.schema[c] for c in key_cols]
+    schema = StructType(
+        list(key_fields) + [StructField("vhash", LongType(), True)]
+    )
+
+    def frame_pixels(payload):
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            dec = decode_gif_frames(payload)
+            return None if dec is None else dec[0]
+        dec = decode_avi_frames(payload)
+        if dec is None:
+            return None
+        return [decode_jpeg(j) for j in dec[1]]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                frames = (
+                    frame_pixels(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if not frames:
+                    continue
+                k = min(n_frames, len(frames))
+                idxs = sorted(
+                    set(
+                        round(i * (len(frames) - 1) / max(1, k - 1))
+                        for i in range(k)
+                    )
+                )
+                hashes = [
+                    phash64(frames[i])
+                    for i in idxs
+                    if frames[i] is not None
+                ]
+                sig = video_phash_summary(hashes)
+                if sig is None:
+                    continue
+                recs.append(tuple(row[c] for c in key_cols) + (sig,))
+            yield pd.DataFrame(recs, columns=list(key_cols) + ["vhash"])
+
+    return df.mapInPandas(gen, schema=schema)

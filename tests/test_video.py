@@ -122,3 +122,38 @@ def test_image_phash_near_dup_pipeline(spark):
     assert ("a_jpg", "a_ppm") in pairs
     assert ("a_ppm", "a_prog") in pairs or ("a_prog", "a_ppm") in pairs
     assert not any("b_other" in p for p in pairs)
+
+
+def test_video_phash_near_dup(spark):
+    from layout_parser_spark.operators.phash import phash_near_dup_pairs, video_phash
+    from layout_parser_spark.sources.avi_mini import encode_avi_mjpeg
+
+    # frames must be photo-sized: tiny frames leave the 32x32 resample
+    # under-smoothed and pHash bits unstable (measured: 64x80 frames
+    # drift 8-16 bits across qualities, 120x160 drift 0-1)
+    yy, xx = np.mgrid[0:120, 0:160]
+    def frame(p):  # textured, phase-shifted per frame
+        return (
+            np.stack(
+                [xx * 255 / 160, yy * 255 / 120,
+                 128 + 100 * np.sin(xx / 9.0 + p) * np.cos(yy / 7.0)],
+                axis=2,
+            ).clip(0, 255).astype(np.uint8)
+        )
+
+    clip = [frame(p * 0.5) for p in range(8)]
+    rows = [
+        ("avi_q92", bytearray(encode_avi_mjpeg(clip, fps=5, quality=92))),
+        ("avi_q75", bytearray(encode_avi_mjpeg(clip, fps=5, quality=75))),
+        ("avi_rev", bytearray(encode_avi_mjpeg(clip[::-1], fps=5, quality=92))),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    sigs = video_phash(df)
+    assert sigs.count() == 3
+    pairs = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in phash_near_dup_pairs(sigs, hash_col="vhash").collect()
+    }
+    assert ("avi_q75", "avi_q92") in pairs  # same clip, different quality
+    # temporal structure: the reversed clip must NOT pair
+    assert not any("avi_rev" in p for p in pairs)
