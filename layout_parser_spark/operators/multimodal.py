@@ -218,13 +218,20 @@ def _decode_bmp(payload: bytes) -> Optional[np.ndarray]:
         return None
     h = abs(h_signed)
     nb = bpp // 8
+    # Dimension/allocation guard: reject non-positive dims and apply the
+    # same absolute + payload-proportional pixel caps as the PNG/GIF/JPEG
+    # decoders — a crafted 54-byte header must not drive a giant loop/alloc.
+    if w <= 0 or h <= 0:
+        return None
+    if w * h > (1 << 26) or w * h > 1024 * len(payload):
+        return None
     stride = (w * nb + 3) & ~3
-    rows = []
-    for r in range(h):
-        off = data_off + r * stride
-        row = np.frombuffer(payload, dtype=np.uint8, count=w * nb, offset=off)
-        rows.append(row.reshape(w, nb))
-    arr = np.stack(rows)
+    need = data_off + h * stride
+    if data_off < 0 or need > len(payload):
+        return None
+    # One bounded frombuffer + strided reshape instead of a per-row loop.
+    raw = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=data_off)
+    arr = raw.reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
     if h_signed > 0:  # bottom-up storage
         arr = arr[::-1]
     # BGR(A) → RGB

@@ -118,39 +118,50 @@ def _walk_avi(payload: bytes, want_frames: bool):
     mjpg = False
 
     def walk(pos: int, end: int) -> None:
+        # Iterative (explicit stack): a crafted file of deeply nested LIST
+        # chunks must not hit the interpreter recursion limit.  On LIST we
+        # push the continuation, then descend — preserving the recursive
+        # traversal order (frame order matters).
         nonlocal fps, dims, n_frames, mjpg
-        while pos + 8 <= end:
-            fourcc = payload[pos : pos + 4]
-            (size,) = struct.unpack_from("<I", payload, pos + 4)
-            body_at = pos + 8
-            if fourcc == b"LIST":
-                walk(body_at + 4, body_at + size)
-            elif fourcc == b"avih" and size >= 40:
-                us, _mb, _pg, _fl, total = struct.unpack_from(
-                    "<IIIII", payload, body_at
-                )
-                n_frames = total
-                w, h = struct.unpack_from("<II", payload, body_at + 32)
-                dims = dims or (h, w)
-                if us:
-                    fps = fps or 1_000_000 / us
-            elif fourcc == b"strh" and size >= 48:
-                if payload[body_at : body_at + 4] == b"vids":
-                    mjpg = payload[body_at + 4 : body_at + 8] in (
-                        b"MJPG", b"mjpg", b"\x00\x00\x00\x00",
+        stack = [(pos, end)]
+        while stack:
+            pos, end = stack.pop()
+            while pos + 8 <= end:
+                fourcc = payload[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", payload, pos + 4)
+                body_at = pos + 8
+                if fourcc == b"LIST":
+                    stack.append((body_at + size + (size & 1), end))
+                    pos, end = body_at + 4, body_at + size
+                    continue
+                elif fourcc == b"avih" and size >= 40:
+                    us, _mb, _pg, _fl, total = struct.unpack_from(
+                        "<IIIII", payload, body_at
                     )
-                    scale, rate = struct.unpack_from(
-                        "<II", payload, body_at + 20
-                    )
-                    if scale and rate:
-                        fps = rate / scale
-            elif want_frames and fourcc[2:4] in (b"dc", b"db"):
-                frames.append(bytes(payload[body_at : body_at + size]))
-            pos = body_at + size + (size & 1)
+                    n_frames = total
+                    w, h = struct.unpack_from("<II", payload, body_at + 32)
+                    dims = dims or (h, w)
+                    if us:
+                        fps = fps or 1_000_000 / us
+                elif fourcc == b"strh" and size >= 48:
+                    if payload[body_at : body_at + 4] == b"vids":
+                        mjpg = payload[body_at + 4 : body_at + 8] in (
+                            b"MJPG", b"mjpg", b"\x00\x00\x00\x00",
+                        )
+                        scale, rate = struct.unpack_from(
+                            "<II", payload, body_at + 20
+                        )
+                        if scale and rate:
+                            fps = rate / scale
+                elif want_frames and fourcc[2:4] in (b"dc", b"db"):
+                    frames.append(bytes(payload[body_at : body_at + size]))
+                pos = body_at + size + (size & 1)
 
     try:
         walk(12, 8 + struct.unpack_from("<I", payload, 4)[0])
-    except struct.error:
+    except Exception:
+        # struct.error on truncation, but broadened: no malformed AVI may
+        # raise out of probe_avi/decode_avi_frames into a Spark task.
         return None
     if dims is None or not mjpg:
         return None

@@ -149,6 +149,11 @@ def decode_gif_frames(
 #: frames are 33M)
 _MAX_PIXELS = 1 << 26
 
+#: cap TOTAL retained pixels across the frames list (frames × w × h) —
+#: per-frame caps alone let a crafted ~32KB GIF of thousands of minimal
+#: frame descriptors demand hundreds of GB via canvas.copy() per frame
+_MAX_TOTAL_PIXELS = 1 << 28
+
 
 def _decode_gif_inner(payload: bytes):
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -238,6 +243,10 @@ def _decode_gif_inner(payload: bytes):
                 region[mask] = rgb[: region.shape[0], : region.shape[1]][mask]
             else:
                 region[:] = rgb[: region.shape[0], : region.shape[1]]
+            if (len(frames) + 1) * h * w > _MAX_TOTAL_PIXELS:
+                # retained-memory cap hit: stop decoding further frames
+                # but keep what we have (prefix of the animation)
+                return frames, delays
             frames.append(canvas.copy())
             delays.append(delay)
             if disposal == 2:  # restore background in the frame rect

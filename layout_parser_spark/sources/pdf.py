@@ -143,7 +143,14 @@ def load_pdf_pages(
                 payload = row[payload_col]
                 if payload is None:
                     continue
-                for idx, w, h, blocks in extract(bytes(payload)):
+                # Choke point: a malformed PDF (non-dict page node,
+                # non-numeric MediaBox, truncated xref …) yields no rows
+                # for that document instead of killing the whole task.
+                try:
+                    pages = extract(bytes(payload))
+                except Exception:
+                    continue
+                for idx, w, h, blocks in pages:
                     recs.append(
                         tuple(row[c] for c in key_cols)
                         + (

@@ -208,7 +208,14 @@ class MiniPdf:
         self._stream_cache: Dict[int, bytes] = {}
 
     def resolve(self, obj):
+        # A crafted "1 0 obj 1 0 R endobj" makes the chain cyclic; track
+        # visited object numbers and bail to None on revisit so resolution
+        # always terminates on untrusted bytes.
+        seen = set()
         while isinstance(obj, Ref):
+            if obj.num in seen:
+                return None
+            seen.add(obj.num)
             obj = self.get(obj.num)
         return obj
 
@@ -268,20 +275,37 @@ class MiniPdf:
                 break
         out = []
 
+        # Iterative walk with a visited set: cyclic /Kids graphs and
+        # non-dict page-tree nodes must not recurse forever or raise out
+        # of the mapInPandas stage on untrusted bytes.
+        seen_ids = set()
+
         def walk(node, inherited):
-            node = self.resolve(node)
-            inh = dict(inherited or {})
-            for k in ("MediaBox", "Resources"):
-                if Name(k) in node:
-                    inh[k] = node[Name(k)]
-            if node.get(Name("Type")) == "Page":
-                page = dict(node)
-                for k, v in inh.items():
-                    page.setdefault(Name(k), v)
-                out.append(page)
-            else:
-                for kid in self.resolve(node.get(Name("Kids"), [])):
-                    walk(kid, inh)
+            stack = [(node, inherited)]
+            while stack:
+                node, inherited = stack.pop()
+                if isinstance(node, Ref):
+                    if node.num in seen_ids:
+                        continue
+                    seen_ids.add(node.num)
+                node = self.resolve(node)
+                if not isinstance(node, dict):
+                    continue
+                inh = dict(inherited or {})
+                for k in ("MediaBox", "Resources"):
+                    if Name(k) in node:
+                        inh[k] = node[Name(k)]
+                if node.get(Name("Type")) == "Page":
+                    page = dict(node)
+                    for k, v in inh.items():
+                        page.setdefault(Name(k), v)
+                    out.append(page)
+                else:
+                    kids = self.resolve(node.get(Name("Kids"), []))
+                    if isinstance(kids, list):
+                        # reversed so pop() preserves document order
+                        for kid in reversed(kids):
+                            stack.append((kid, inh))
 
         for node, _ in root_kids:
             walk(node, {})

@@ -36,16 +36,35 @@ PAGES_SCHEMA = (
 )
 
 
+#: output ceiling for one WARC file's decompressed bytes: absolute 4 GiB
+#: or 1000× the compressed input, whichever is smaller — DEFLATE tops out
+#: near 1030:1, so legitimate archives sit far below while a crafted
+#: gzip bomb cannot amplify into executor memory unbounded.
+_MAX_INFLATE_ABS = 4 << 30
+_MAX_INFLATE_RATIO = 1000
+
+
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress concatenated gzip members (the .warc.gz record-per-
-    member layout) — plain data passes through."""
+    member layout) — plain data passes through.  Output is bounded (see
+    `_MAX_INFLATE_*`); on hitting the ceiling the decoded prefix is
+    returned so already-complete records still parse."""
     if data[:2] != b"\x1f\x8b":
         return data
+    limit = min(_MAX_INFLATE_ABS, _MAX_INFLATE_RATIO * len(data))
     out = bytearray()
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        out += d.decompress(data[pos:])
+        chunk = data[pos:]
+        # max_length-chunked decompress against the remaining budget
+        while True:
+            out += d.decompress(chunk, max(1, limit - len(out)))
+            if len(out) >= limit:
+                return bytes(out)
+            chunk = d.unconsumed_tail
+            if not chunk:
+                break
         out += d.flush()
         tail = d.unused_data
         if not tail:
@@ -146,7 +165,13 @@ def read_warc(
         for pdf in batches:
             rows = []
             for content in pdf["content"]:
-                for rec in parse_warc_records(bytes(content)):
+                # choke point: a corrupt file (bad gzip member, torn
+                # record) yields zero rows instead of aborting the job
+                try:
+                    recs = parse_warc_records(bytes(content))
+                except Exception:
+                    continue
+                for rec in recs:
                     if rec["warc_type"] != "response":
                         continue
                     if only_html and rec["content_type"] and not (
