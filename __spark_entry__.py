@@ -1225,12 +1225,16 @@ WITH lines AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS line,
          generate_subscripts(string_split(text, ' '), 1) AS pos
   FROM documents
+), lanes AS (
+  SELECT doc_id, pos, line,
+         ('0x' || substr(md5(line), 1, 15))::BIGINT AS ll
+  FROM lines
 ), hot AS (
-  SELECT line FROM lines GROUP BY line
+  SELECT ll FROM lanes GROUP BY ll
   HAVING COUNT(DISTINCT doc_id) > 250
 ), kept AS (
   SELECT l.doc_id, l.line, l.pos
-  FROM lines l LEFT JOIN hot h USING (line) WHERE h.line IS NULL
+  FROM lanes l LEFT JOIN hot h USING (ll) WHERE h.ll IS NULL
 ), agg AS (
   SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
          COUNT(*) AS n_kept
@@ -1265,13 +1269,15 @@ WITH toks AS (
          tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
   FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ), full_grams AS (
-  SELECT doc_id, pos, g FROM grams WHERE g IS NOT NULL
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT AS gl
+  FROM grams WHERE g IS NOT NULL
 ), dup AS (
-  SELECT g FROM full_grams GROUP BY g HAVING COUNT(*) > 1
+  SELECT gl FROM full_grams GROUP BY gl HAVING COUNT(*) > 1
 ), covered AS (
   SELECT DISTINCT f.doc_id,
          unnest(generate_series(f.pos, f.pos + 2)) AS pos
-  FROM full_grams f JOIN dup USING (g)
+  FROM full_grams f JOIN dup USING (gl)
 ), kept AS (
   SELECT t.doc_id, t.pos, t.tok
   FROM toks t LEFT JOIN covered c

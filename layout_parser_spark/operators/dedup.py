@@ -605,12 +605,12 @@ def repeated_line_removal(
     Returns (id, clean_text, n_kept, n_dropped).
 
     Scale shape: the df-count is a map-side-combinable hash aggregate on
-    the segment; the hot set (df > max_df) is tiny by construction —
-    boilerplate is common, so few distinct strings clear the bar — and
-    broadcasts into a LEFT ANTI join, so the corpus-sized side never
-    re-shuffles for the filter.  Reassembly is one shuffle on the doc id.
-    For very long segments at 10^12-doc scale, pre-hash the segment to an
-    md5 lane and anti-join on the lane (16-byte shuffle keys)."""
+    the md5 LANE of the segment — arbitrarily long boilerplate lines
+    shuffle as 8-byte longs, never as raw strings; the hot set
+    (df > max_df) is tiny by construction — boilerplate is common, so few
+    distinct lanes clear the bar — and broadcasts into a LEFT ANTI join,
+    so the corpus-sized side never re-shuffles for the filter.
+    Reassembly is one shuffle on the doc id."""
     import re as _re
 
     pat = _re.escape(delim)
@@ -618,14 +618,14 @@ def repeated_line_removal(
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(parts).alias("pos", "line"),
-    )
+    ).select("id", "pos", "line", md5_lane60(F.col("line")).alias("ll"))
     hot = (
-        lines.groupBy("line")
+        lines.groupBy("ll")
         .agg(F.countDistinct("id").alias("dfc"))
         .where(F.col("dfc") > max_df)
-        .select("line")
+        .select("ll")
     )
-    kept = lines.join(F.broadcast(hot), on="line", how="left_anti")
+    kept = lines.join(F.broadcast(hot), on="ll", how="left_anti")
     agg = kept.groupBy("id").agg(
         F.array_join(
             F.transform(
@@ -666,33 +666,46 @@ def duplicated_span_removal(
     n≈50; tests use small n so the synthetic corpus has collisions.
 
     Scale shape (the suffix-array of the paper re-expressed as joins):
-    gram staging is one per-doc window, duplicate detection one
-    combinable count on the gram, the occurrence join an equi-join on
-    the gram, and coverage expansion an explode + distinct + anti-join
-    on (doc, position) — every shuffle is an equi-shuffle; nothing is
-    quadratic in the corpus.  For 10^12 docs, hash the gram to an md5
-    lane for the count/join keys (16-byte shuffle keys) exactly as the
-    MinHash family above does."""
-    from pyspark.sql import Window
-
+    gram staging is MAP-SIDE — each doc's token array yields its gram
+    md5-lanes via an array transform + posexplode, so no shuffle happens
+    before anything else (the old per-doc window cost one exchange on the
+    doc id); duplicate detection is one combinable count on the 8-byte
+    gram LANE (an n=50 gram is ~300 raw bytes — the raw string never
+    becomes a shuffle key), the occurrence join an equi-join on the lane,
+    and coverage expansion an explode + distinct + anti-join on
+    (doc, position) — every shuffle is an equi-shuffle on fixed-width
+    keys; nothing is quadratic in the corpus."""
+    toksd = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    k = F.size(F.col("_toks")) - (n - 1)
+    # gram start positions are 0-based token positions; lane computed
+    # inside the transform so gram STRINGS die within this projection
+    gram_lanes = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: md5_lane60(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("_toks"), i + j) for j in range(n)],
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    grams = toksd.select("id", F.posexplode(gram_lanes).alias("pos", "gl"))
+    dup = (
+        grams.groupBy("gl")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") > 1)
+        .select("gl")
+    )
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    grams = toks.select(
-        "id", "pos", F.concat_ws(" ", *parts).alias("g"),
-        parts[-1].isNotNull().alias("_full"),
-    ).where(F.col("_full"))
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .where(F.col("occ") > 1)
-        .select("g")
-    )
     covered = (
-        grams.join(dup, on="g")
+        grams.join(dup, on="gl")
         .select(
             "id",
             F.explode(

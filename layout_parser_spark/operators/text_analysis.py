@@ -201,7 +201,9 @@ def corpus_top_ngrams(
     deterministic integer ordering (occurrences DESC, gram ASC), so the
     result is engine-independent (no float ranking ties).
 
-    Scale shape: one explode + one combinable hash aggregate, then
+    Scale shape: gram construction is MAP-SIDE (an array transform over
+    each doc's token array — no window, so no shuffle on the doc id
+    before aggregation), then one combinable hash aggregate and
     ``orderBy().limit(k)`` — Spark compiles that to
     TakeOrderedAndProject (per-partition heap top-k + driver merge), so
     NO full sort and no unpartitioned window ever touches the
@@ -209,20 +211,24 @@ def corpus_top_ngrams(
     partitioned by a constant."""
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.col(id_col).alias("_rid"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    toksd = df.select(
+        F.col(id_col).alias("_rid"), tokens(F.col(text_col)).alias("_toks")
     )
     if n > 1:
-        # n-gram via self-equijoin-free window over each doc's tokens
-        w = Window.partitionBy("_rid").orderBy("pos")
-        parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-        grams = toks.select(
-            "_rid", F.concat_ws(" ", *parts).alias("gram"),
-            parts[-1].isNotNull().alias("_full"),
-        ).where(F.col("_full"))
+        kk = F.size(F.col("_toks")) - (n - 1)
+        gram_arr = F.when(
+            kk >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(kk, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("_toks"), i + j) for j in range(n)],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = toksd.select("_rid", F.explode(gram_arr).alias("gram"))
     else:
-        grams = toks.select("_rid", F.col("tok").alias("gram"))
+        grams = toksd.select("_rid", F.explode(F.col("_toks")).alias("gram"))
     agg = grams.groupBy("gram").agg(
         F.count(F.lit(1)).alias("occurrences"),
         F.countDistinct("_rid").alias("doc_frequency"),
