@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (39/39): the hash-based family
+Every query has an oracle entry (41/41): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
@@ -1319,6 +1319,84 @@ FROM documents
 """
 
 
+def _synth_media_sigs(spark, sf: str, salt: str, cluster: int, bits: int):
+    """Deterministic 64-bit signature column standing in for the media
+    decode→signature legs (image pHash / video summary / audio
+    fingerprint — each pytest-pinned to deterministic values over real
+    decoders in tests/test_multimodal.py, test_video.py,
+    test_audio_meta.py).  Clusters of ``cluster`` consecutive docs share
+    a base md5 lane with one doc-dependent bit flipped, so cluster-mates
+    sit at hamming 2 — real work for the pigeonhole pairing join.  Exact
+    DuckDB twin in the oracle SQL."""
+    from layout_parser_spark.operators.dedup import md5_lane60
+
+    d = _t(spark, sf, "documents")
+    base = md5_lane60(
+        F.concat(
+            F.lit(salt),
+            (F.col("doc_id") - F.col("doc_id") % cluster).cast("string"),
+        )
+    )
+    sig = F.expr(
+        f"shiftleft(cast(1 as bigint), cast(doc_id % {bits} as int))"
+    ).bitwiseXOR(base)
+    return d.select(F.col("doc_id").alias("doc_id"), sig.alias("sig"))
+
+
+def q_media_phash_pairs(spark, sf: str) -> DataFrame:
+    """Image/video near-dup pairing leg: 4×16-bit pigeonhole equi-join +
+    exact bit_count verify at hamming ≤ 3 over a 64-bit signature column
+    (the shape image_phash / video_phash feed)."""
+    from layout_parser_spark.operators.phash import phash_near_dup_pairs
+
+    sigs = _synth_media_sigs(spark, sf, "phash:", cluster=5, bits=60)
+    pairs = phash_near_dup_pairs(
+        sigs, hash_col="sig", id_col="doc_id", max_hamming=3, n_chunks=4
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def q_media_afp_pairs(spark, sf: str) -> DataFrame:
+    """Audio-fingerprint near-dup pairing leg: the generalized 8×8-bit
+    pigeonhole (radius 7) the Haitsma-Kalker summary hash pairs
+    through."""
+    from layout_parser_spark.operators.phash import phash_near_dup_pairs
+
+    sigs = _synth_media_sigs(spark, sf, "afp:", cluster=4, bits=59)
+    pairs = phash_near_dup_pairs(
+        sigs, hash_col="sig", id_col="doc_id", max_hamming=7, n_chunks=8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _sql_media_pairs(salt: str, cluster: int, bits: int, bpc: int,
+                     n_chunks: int, max_hamming: int) -> str:
+    idxs = ", ".join(str(i) for i in range(n_chunks))
+    return f"""
+WITH sigs AS (
+  SELECT doc_id,
+         xor(('0x' || substr(md5('{salt}' ||
+                CAST(doc_id - doc_id % {cluster} AS VARCHAR)), 1, 15))::BIGINT,
+             (1::BIGINT << CAST(doc_id % {bits} AS INT))) AS sig
+  FROM documents
+), chunks AS (
+  SELECT doc_id, sig, i AS chunk_idx,
+         (sig >> ({bpc} * i)) & {(1 << bpc) - 1} AS chunk
+  FROM sigs, (SELECT unnest([{idxs}]) AS i)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+
 def _queries_df(spark, sf: str):
     # float32 storage → double math on BOTH sides (Spark and the DuckDB
     # oracle) so the accumulation is bit-identical
@@ -1623,6 +1701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "dedup_exact_substring": q_dedup_exact_substring,
         "multimodal_meta": q_multimodal_meta,
+        "media_phash_pairs": q_media_phash_pairs,
+        "media_afp_pairs": q_media_afp_pairs,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
@@ -1665,6 +1745,12 @@ def oracle_sql() -> dict[str, str]:
         "corpus_top_ngrams": SQL_TOP_NGRAMS,
         "dedup_exact_substring": SQL_EXACT_SUBSTRING,
         "multimodal_meta": SQL_MULTIMODAL,
+        "media_phash_pairs": _sql_media_pairs(
+            "phash:", cluster=5, bits=60, bpc=16, n_chunks=4, max_hamming=3
+        ),
+        "media_afp_pairs": _sql_media_pairs(
+            "afp:", cluster=4, bits=59, bpc=8, n_chunks=8, max_hamming=7
+        ),
         "dedup_embedding_cosine": SQL_EMB_DEDUP,
         "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
         "corpus_filter_pipeline": _sql_corpus_pipeline(),
