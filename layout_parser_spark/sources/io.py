@@ -99,10 +99,15 @@ def load_csv_blocks(
     ``points`` arrives as its Python-literal string form (parsed with
     ``from_json`` rather than ast.literal_eval); ``id`` is auto-assigned
     as the 0-based row index (per document if ``doc_id_col`` given) when
-    any TextBlock feature is present and the id column is absent/null —
-    assigned over an explicit ``_row_order`` window, deterministic at any
-    parallelism."""
-    raw = spark.read.csv(path, header=True)
+    any TextBlock feature is present and the id column is absent/null.
+
+    Determinism: the read sets ``multiLine`` (which also parses quoted
+    embedded newlines correctly), making each file non-splittable — so
+    ``monotonically_increasing_id`` is a true within-file row order —
+    and ids are dense row_numbers over (file path, file position):
+    deterministic at ANY parallelism and for multi-file globs (files
+    ordered lexicographically by path), not just single-file reads."""
+    raw = spark.read.option("multiLine", "true").csv(path, header=True)
     cols = set(raw.columns)
 
     sel = []
@@ -130,19 +135,22 @@ def load_csv_blocks(
 
     has_tb_features = any(f in cols for f in _TEXTBLOCK_FEATURES)
     df = raw.select(
-        *sel, F.monotonically_increasing_id().alias("_file_pos")
+        *sel,
+        F.input_file_name().alias("_file"),
+        F.monotonically_increasing_id().alias("_file_pos"),
     )
-    # _file_pos is only an ORDER key within the (single-file, header) read —
-    # ids are then dense 0-based row_numbers, deterministic given the file.
+    # (_file, _file_pos) is a deterministic total order: multiLine reads
+    # are non-splittable, so _file_pos increases in row order within each
+    # file (even when small files pack into one partition).
     if has_tb_features and ("id" not in cols):
         part = [doc_id_col] if (doc_id_col and doc_id_col in cols) else []
         w = (
-            Window.partitionBy(*part).orderBy("_file_pos")
+            Window.partitionBy(*part).orderBy("_file", "_file_pos")
             if part
-            else Window.orderBy("_file_pos")
+            else Window.orderBy("_file", "_file_pos")
         )
         df = df.withColumn("id", (F.row_number().over(w) - 1).cast("long"))
-    return df.drop("_file_pos")
+    return df.drop("_file", "_file_pos")
 
 
 def blocks_to_exploded(df: DataFrame, blocks_col: str = "blocks") -> DataFrame:

@@ -258,3 +258,44 @@ def test_draw_text_svg_side_by_side():
                           with_layout=True)
     assert 'stroke-opacity="0.50"' in boxed
     assert 'transform="translate(200,0)"' in boxed
+
+
+def test_load_csv_multifile_deterministic_ids(spark, tmp_path):
+    """Multi-file glob: auto-ids are dense per document over
+    (lexicographic file path, within-file row order) — deterministic at
+    any parallelism, the SURVEY §7 'no monotonically_increasing_id as a
+    value' promise for the CSV source."""
+    from layout_parser_spark.sources.io import load_csv_blocks
+
+    hdr = "doc,x_1,y_1,x_2,y_2,text\n"
+    (tmp_path / "a.csv").write_text(
+        hdr + "d1,0,0,1,1,w0\nd2,0,0,1,1,w1\nd1,2,0,3,1,w2\n"
+    )
+    (tmp_path / "b.csv").write_text(
+        hdr + "d1,4,0,5,1,w3\nd2,2,0,3,1,w4\n"
+    )
+    expected = {
+        # file a before file b; per-doc dense 0-based
+        ("d1", "w0"): 0, ("d1", "w2"): 1, ("d1", "w3"): 2,
+        ("d2", "w1"): 0, ("d2", "w4"): 1,
+    }
+    for _ in range(2):  # repeat read → identical assignment
+        rows = load_csv_blocks(
+            spark, str(tmp_path / "*.csv"), doc_id_col="doc"
+        ).collect()
+        got = {(r.doc, r.text): r.id for r in rows}
+        assert got == expected
+
+
+def test_load_csv_quoted_newline(spark, tmp_path):
+    """multiLine read parses quoted embedded newlines instead of tearing
+    the record."""
+    from layout_parser_spark.sources.io import load_csv_blocks
+
+    (tmp_path / "c.csv").write_text(
+        'x_1,y_1,x_2,y_2,text\n0,0,1,1,"line1\nline2"\n'
+    )
+    rows = load_csv_blocks(spark, str(tmp_path / "c.csv")).collect()
+    assert len(rows) == 1
+    assert rows[0].text == "line1\nline2"
+    assert rows[0].id == 0

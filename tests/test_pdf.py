@@ -116,3 +116,91 @@ def test_pdf_extractor_tolerates_garbage():
     assert extract_pdf_words(b"%PDF-1.3\njunk") == []
     # a valid header with one malformed object: page tree absent → []
     assert extract_pdf_words(b"%PDF-1.3\n1 0 obj\n<< /Broken\nendobj") == []
+
+
+# ---------------------------------------------------------------------------
+# load_pdf(load_images=True) render + rescale branch (io/pdf.py:205-224)
+# ---------------------------------------------------------------------------
+
+
+def _pages_with_images(spark, dpi):
+    from layout_parser_spark.sources.pdf import load_pdf_pages_with_images
+
+    ex = open(
+        "/root/reference/tests/fixtures/io/example.pdf", "rb"
+    ).read()
+    df = spark.createDataFrame(
+        [("u", bytearray(ex))], "url string, payload binary"
+    )
+    return load_pdf_pages_with_images(df, dpi=dpi).collect()
+
+
+def test_load_images_same_dpi_no_rescale(spark):
+    """dpi=72 → raster dims equal PDF point dims (example.pdf has
+    integer point dims) → layout passes through untouched."""
+    from layout_parser_spark.sources.pdf import load_pdf_pages
+
+    ex = open("/root/reference/tests/fixtures/io/example.pdf", "rb").read()
+    df = spark.createDataFrame(
+        [("u", bytearray(ex))], "url string, payload binary"
+    )
+    plain = load_pdf_pages(df).collect()
+    rows = _pages_with_images(spark, dpi=72)
+    assert len(rows) == len(plain) == 1
+    r, p = rows[0], plain[0]
+    assert (r.image_w, r.image_h) == (
+        round(p.page_data.width), round(p.page_data.height)
+    )
+    assert r.page_data == p.page_data
+    assert [
+        (b.x_1, b.y_1, b.x_2, b.y_2) for b in r.blocks
+    ] == [(b.x_1, b.y_1, b.x_2, b.y_2) for b in p.blocks]
+    assert r.image is not None and bytes(r.image[:2]) == b"P6"
+
+
+def test_load_images_rescale_to_image_dims(spark):
+    """dpi=144 → image dims are 2× the layout dims → every block scales
+    by exactly (2, 2) and page_data takes the image dims — the reference
+    branch on a fixture with layout-dims ≠ image-dims."""
+    from layout_parser_spark.sources.pdf import load_pdf_pages
+
+    ex = open("/root/reference/tests/fixtures/io/example.pdf", "rb").read()
+    df = spark.createDataFrame(
+        [("u", bytearray(ex))], "url string, payload binary"
+    )
+    plain = load_pdf_pages(df).collect()[0]
+    r = _pages_with_images(spark, dpi=144)[0]
+    sx = r.image_w / plain.page_data.width
+    sy = r.image_h / plain.page_data.height
+    assert (sx, sy) == (2.0, 2.0)
+    assert r.page_data.width == float(r.image_w)
+    assert r.page_data.height == float(r.image_h)
+    assert r.page_data["index"] == plain.page_data["index"]
+    got = [(b.x_1, b.y_1, b.x_2, b.y_2) for b in r.blocks]
+    want = [
+        (b.x_1 * 2.0, b.y_1 * 2.0, b.x_2 * 2.0, b.y_2 * 2.0)
+        for b in plain.blocks
+    ]
+    assert got == want
+    # metadata survives the rescale
+    assert [(b.text, b.id, b.type) for b in r.blocks] == [
+        (b.text, b.id, b.type) for b in plain.blocks
+    ]
+
+
+def test_load_images_render_failure_keeps_tokens(spark):
+    """A renderer that raises yields NULL image and an unscaled layout —
+    token extraction must not be hostage to rasterization."""
+    from layout_parser_spark.sources.pdf import load_pdf_pages_with_images
+
+    def boom(payload, idx, w, h, dpi):
+        raise RuntimeError("no poppler")
+
+    ex = open("/root/reference/tests/fixtures/io/example.pdf", "rb").read()
+    df = spark.createDataFrame(
+        [("u", bytearray(ex))], "url string, payload binary"
+    )
+    rows = load_pdf_pages_with_images(df, renderer=boom).collect()
+    assert len(rows) == 1
+    assert rows[0].image is None and rows[0].image_w is None
+    assert len(rows[0].blocks) == 143
