@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (41/41): the hash-based family
+Every query has an oracle entry (43/43): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
@@ -1397,6 +1397,121 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
 """
 
 
+def _synth_pages_df(spark, sf: str):
+    from layout_parser_spark.sources import synth_pages
+
+    return synth_pages(_t(spark, sf, "documents"))
+
+
+def q_host_link_graph(spark, sf: str) -> DataFrame:
+    """Web-graph leg 1: regex outlink extraction over the rendered page
+    corpus → weighted host edge list.  The oracle re-derives the exact
+    link set from the renderer's doc_id arithmetic (sources/pages.py
+    ``links``), so this verifies render → href regex → host parse →
+    aggregate end-to-end."""
+    from layout_parser_spark.operators.webgraph import (
+        extract_links,
+        host_link_graph,
+    )
+
+    return host_link_graph(extract_links(_synth_pages_df(spark, sf)))
+
+
+def q_pagerank_hosts(spark, sf: str) -> DataFrame:
+    """Web-graph leg 2: fixed-point integer PageRank (3 iterations,
+    d=0.85) over the host graph — bit-identical across engines because
+    every operation is BIGINT arithmetic (operators/webgraph.py)."""
+    from layout_parser_spark.operators.webgraph import (
+        extract_links,
+        host_link_graph,
+        pagerank_hosts,
+    )
+
+    edges = host_link_graph(extract_links(_synth_pages_df(spark, sf)))
+    return pagerank_hosts(edges, iters=3)
+
+
+#: the renderer's link targets as doc_id arithmetic (sources/pages.py)
+_SQL_EDGES = """
+docs AS (SELECT doc_id AS d FROM documents),
+dsts AS (
+  SELECT d, unnest([
+    d % 97, d % 97, d % 97,
+    (d - d % 10) % 97,
+    (CASE WHEN d > 0 THEN d - 1 ELSE 0 END) % 97,
+    (d + 1) % 97,
+    ((d * 13 + 7) % 9973) % 97
+  ]) AS dst_h
+  FROM docs
+),
+rawedges AS (
+  SELECT 'site' || CAST(d % 97 AS VARCHAR) || '.example.com' AS src_host,
+         'site' || CAST(dst_h AS VARCHAR) || '.example.com' AS dst_host
+  FROM dsts
+  UNION ALL
+  SELECT 'site' || CAST(d % 97 AS VARCHAR) || '.example.com',
+         'ads.example.net'
+  FROM docs
+),
+edges AS (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+  FROM rawedges GROUP BY src_host, dst_host
+)
+"""
+
+SQL_HOST_LINKS = f"""
+WITH {_SQL_EDGES}
+SELECT src_host, dst_host, n_links FROM edges
+"""
+
+
+def _sql_pagerank(iters: int = 3) -> str:
+    """Unrolled fixed-point PageRank twin of webgraph.pagerank_hosts —
+    every // mirrors an _idiv."""
+    ctes = [
+        _SQL_EDGES.strip().rstrip(),
+        """nodes AS (
+  SELECT src_host AS host FROM edges
+  UNION SELECT dst_host FROM edges
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+outw AS (
+  SELECT src_host AS host, SUM(n_links) AS outw FROM edges GROUP BY src_host
+),
+r0 AS (
+  SELECT host, (1000000000000 // nn.n) AS rank FROM nodes CROSS JOIN nn
+)""",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst_host AS host,
+         SUM((((r.rank * e.n_links) // o.outw) * 85) // 100) AS contrib
+  FROM r{p} r JOIN outw o ON o.host = r.host
+  JOIN edges e ON e.src_host = r.host
+  GROUP BY e.dst_host
+),
+d{i} AS (
+  SELECT COALESCE(SUM(r.rank), 0) AS dang
+  FROM r{p} r LEFT JOIN outw o ON o.host = r.host WHERE o.host IS NULL
+),
+r{i} AS (
+  SELECT n.host,
+         ((1000000000000 // nn.n) * 15) // 100
+         + ((dg.dang // nn.n) * 85) // 100
+         + COALESCE(c.contrib, 0) AS rank
+  FROM nodes n CROSS JOIN nn CROSS JOIN d{i} dg
+  LEFT JOIN c{i} c ON c.host = n.host
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT host, CAST(rank AS BIGINT) AS rank_micro FROM r{iters}"
+    )
+
+
 def _queries_df(spark, sf: str):
     # float32 storage → double math on BOTH sides (Spark and the DuckDB
     # oracle) so the accumulation is bit-identical
@@ -1703,6 +1818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "media_phash_pairs": q_media_phash_pairs,
         "media_afp_pairs": q_media_afp_pairs,
+        "host_link_graph": q_host_link_graph,
+        "pagerank_hosts": q_pagerank_hosts,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
@@ -1751,6 +1868,8 @@ def oracle_sql() -> dict[str, str]:
         "media_afp_pairs": _sql_media_pairs(
             "afp:", cluster=4, bits=59, bpc=8, n_chunks=8, max_hamming=7
         ),
+        "host_link_graph": SQL_HOST_LINKS,
+        "pagerank_hosts": _sql_pagerank(3),
         "dedup_embedding_cosine": SQL_EMB_DEDUP,
         "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
         "corpus_filter_pipeline": _sql_corpus_pipeline(),

@@ -95,18 +95,40 @@ def render_page_html(doc_id: int, text: str) -> str:
     tokens = text.split(" ")
     boxes, fig, caption, ad, H = layout_boxes(doc_id, tokens)
 
+    # Deterministic link targets (doc_id arithmetic ONLY — the DuckDB
+    # oracle for the web-graph operators re-derives this exact set in
+    # SQL; keep the two in sync with __spark_entry__._sql_host_links):
+    # header/nav link within the host, the ad box links out to the ad
+    # host.  Anchor TEXT is unchanged, so extraction byte-identity and
+    # link-density scoring are unaffected.
+    host_root = f"https://site{doc_id % 97}.example.com"
+    links = {
+        "home": f"{host_root}/",
+        "about": f"{host_root}/about",
+        "contact": f"{host_root}/contact",
+        "index": page_url(doc_id - doc_id % 10),
+        "prev": page_url(max(doc_id - 1, 0)),
+        "next": page_url(doc_id + 1),
+        "top": page_url((doc_id * 13 + 7) % 9973),
+        "buy": f"https://ads.example.net/c/{doc_id % 3}",
+    }
     parts = [f'<html data-w="{PAGE_W}" data-h="{H}">']
     parts.append(
         f'<header data-box="0,0,{PAGE_W},80">Example Domain {doc_id % 7} '
-        f"<a>home</a> <a>about</a> <a>contact</a></header>"
+        f'<a href="{links["home"]}">home</a> '
+        f'<a href="{links["about"]}">about</a> '
+        f'<a href="{links["contact"]}">contact</a></header>'
     )
     parts.append(
         f'<div data-box="0,84,{PAGE_W},112">home docs section{doc_id % 11} '
         f"page {doc_id}</div>"
     )
     parts.append(
-        f'<nav data-box="0,120,220,{H - 80}"><a>index</a> <a>prev</a> '
-        f"<a>next</a> <a>top{doc_id % 5}</a></nav>"
+        f'<nav data-box="0,120,220,{H - 80}">'
+        f'<a href="{links["index"]}">index</a> '
+        f'<a href="{links["prev"]}">prev</a> '
+        f'<a href="{links["next"]}">next</a> '
+        f'<a href="{links["top"]}">top{doc_id % 5}</a></nav>'
     )
     for (x1, y1, x2, y2, p) in boxes:
         parts.append(
@@ -119,7 +141,8 @@ def render_page_html(doc_id: int, text: str) -> str:
     )
     parts.append(
         f'<div data-box="{ad[0]},{ad[1]},{ad[2]},{ad[3]}">'
-        f"<a>click</a> <a>here</a> <a>buy{doc_id % 3}</a> <a>now</a></div>"
+        f'<a>click</a> <a>here</a> '
+        f'<a href="{links["buy"]}">buy{doc_id % 3}</a> <a>now</a></div>'
     )
     parts.append(
         f'<footer data-box="0,{H - 60},{PAGE_W},{H}">copyright example '

@@ -1,0 +1,80 @@
+"""Web-graph operators: link extraction, host graph, fixed-point
+PageRank (operators/webgraph.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from layout_parser_spark.operators.webgraph import (
+    PAGERANK_UNIT,
+    extract_links,
+    host_link_graph,
+    pagerank_hosts,
+)
+
+
+def test_extract_links_and_host_graph(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.com/p1",
+                b'<html><a href="https://b.com/x">b</a> '
+                b'<a href="https://a.com/p2">self</a> '
+                b'<a href="/relative">rel</a> <a>bare</a></html>',
+            ),
+            ("https://b.com/p1", b"<html>no links</html>"),
+        ],
+        "url string, html binary",
+    )
+    links = extract_links(pages).collect()
+    assert {(r.src_url, r.href) for r in links} == {
+        ("https://a.com/p1", "https://b.com/x"),
+        ("https://a.com/p1", "https://a.com/p2"),
+        ("https://a.com/p1", "/relative"),
+    }
+    g = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_link_graph(extract_links(pages)).collect()
+    }
+    # relative link dropped; self-host edge kept
+    assert g == {("a.com", "b.com"): 1, ("a.com", "a.com"): 1}
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows, "src_host string, dst_host string, n_links long"
+    )
+
+
+def test_pagerank_mass_conserved_and_dangling(spark):
+    """b is a pure sink (dangling): its mass redistributes uniformly;
+    total mass stays ≈ UNIT (integer flooring loses < n_nodes+n_edges
+    micro-units per iteration)."""
+    e = _edges(spark, [("a", "b", 2), ("c", "a", 1), ("a", "c", 1)])
+    ranks = {r.host: r.rank_micro for r in pagerank_hosts(e, iters=3).collect()}
+    assert set(ranks) == {"a", "b", "c"}
+    total = sum(ranks.values())
+    assert abs(total - PAGERANK_UNIT) < 100  # micro-units of flooring loss
+    # b receives 2/3 of a's emitted mass vs c's 1/3 → b outranks c
+    assert ranks["b"] > ranks["c"]
+
+
+def test_pagerank_symmetric_cycle_uniform(spark):
+    """A symmetric 2-cycle must stay exactly uniform — any asymmetry
+    would be an engine artifact."""
+    e = _edges(spark, [("a", "b", 1), ("b", "a", 1)])
+    ranks = {r.host: r.rank_micro for r in pagerank_hosts(e, iters=4).collect()}
+    assert ranks["a"] == ranks["b"]
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    e = _edges(
+        spark,
+        [("a", "b", 3), ("b", "c", 1), ("c", "a", 2), ("a", "c", 5)],
+    )
+    r1 = sorted(
+        (r.host, r.rank_micro) for r in pagerank_hosts(e, iters=3).collect()
+    )
+    r2 = sorted(
+        (r.host, r.rank_micro) for r in pagerank_hosts(e, iters=3).collect()
+    )
+    assert r1 == r2
