@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (43/43): the hash-based family
+Every query has an oracle entry (44/44): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
@@ -1512,6 +1512,54 @@ r{i} AS (
     )
 
 
+def q_url_dedup(spark, sf: str) -> DataFrame:
+    """URL-level dedup through canonicalization: clusters of 5 docs get
+    the SAME target URL dressed up 5 different ways (mixed-case host +
+    default port + fragment, tracking params, shuffled param order) and
+    must collapse onto 2 canonical URLs per cluster.  The oracle derives
+    the expected canonical forms directly from doc_id arithmetic — the
+    ground truth the Spark canonicalizer has to hit exactly."""
+    from layout_parser_spark.operators.webgraph import url_dedup
+
+    d = F.col("doc_id")
+    b = (d - d % 5).cast("long")
+    base = F.concat(
+        F.lit("https://site"), (b % 97).cast("string"),
+        F.lit(".example.com/page/"), b.cast("string"),
+    )
+    shouty = F.concat(
+        F.lit("HTTPS://SITE"), (b % 97).cast("string"),
+        F.lit(".EXAMPLE.COM:443/page/"), b.cast("string"), F.lit("#frag"),
+    )
+    messy = (
+        F.when(d % 5 == 0, base)
+        .when(d % 5 == 1, shouty)
+        .when(d % 5 == 2, F.concat(base, F.lit("?utm_source=news&b=2&a=1")))
+        .when(d % 5 == 3, F.concat(base, F.lit("?b=2&a=1&gclid=xyz")))
+        .otherwise(F.concat(base, F.lit("?a=1&b=2&ref=home")))
+    )
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", messy.alias("url")
+    )
+    return url_dedup(docs)
+
+
+SQL_URL_DEDUP = """
+WITH docs AS (SELECT doc_id AS d, doc_id - doc_id % 5 AS b FROM documents),
+canon AS (
+  SELECT d,
+         'https://site' || CAST(b % 97 AS VARCHAR)
+         || '.example.com/page/' || CAST(b AS VARCHAR)
+         || CASE WHEN d % 5 >= 2 THEN '?a=1&b=2' ELSE '' END
+           AS canonical_url
+  FROM docs
+)
+SELECT canonical_url, MIN(d) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM canon GROUP BY canonical_url
+"""
+
+
 def _queries_df(spark, sf: str):
     # float32 storage → double math on BOTH sides (Spark and the DuckDB
     # oracle) so the accumulation is bit-identical
@@ -1820,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_afp_pairs": q_media_afp_pairs,
         "host_link_graph": q_host_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
+        "url_dedup": q_url_dedup,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
@@ -1870,6 +1919,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_link_graph": SQL_HOST_LINKS,
         "pagerank_hosts": _sql_pagerank(3),
+        "url_dedup": SQL_URL_DEDUP,
         "dedup_embedding_cosine": SQL_EMB_DEDUP,
         "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
         "corpus_filter_pipeline": _sql_corpus_pipeline(),

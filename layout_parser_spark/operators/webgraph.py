@@ -156,3 +156,66 @@ def pagerank_hosts(
             .localCheckpoint(eager=True)
         )
     return ranks.select("host", F.col("rank").alias("rank_micro"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup
+# ---------------------------------------------------------------------------
+
+#: query parameters that never change content (tracking)
+TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|gclid|fbclid|ref)="
+
+
+def canonicalize_url(c: Column) -> Column:
+    """Canonical form of an absolute http(s) URL, as ONE columnar
+    expression (no UDF): lowercase scheme+host, strip the default port
+    (:80 http / :443 https), drop the fragment, drop tracking query
+    params (utm_*, gclid, fbclid, ref), sort surviving params, normalize
+    an empty path to '/'.  The crawl-dedup key: the same content fetched
+    through mailer links, mixed-case hosts, or shuffled params collapses
+    to one canonical URL.
+
+    Every piece is a regexp/array op with an exact DuckDB twin (see
+    __spark_entry__.SQL_URL_DEDUP) so the dedup query value-verifies."""
+    u = F.regexp_replace(c, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[^:/]+://([^/?#]+)", 1))
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(u, r"^[^:/]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qpart)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the minimum id per canonical URL; report the collapse count.
+    Same scale shape as dedup_exact: one hash aggregate, canonical URL
+    computed map-side."""
+    return (
+        df.select(
+            canonicalize_url(F.col(url_col)).alias("canonical_url"),
+            F.col(id_col).alias("id"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )

@@ -78,3 +78,45 @@ def test_pagerank_deterministic_across_runs(spark):
         (r.host, r.rank_micro) for r in pagerank_hosts(e, iters=3).collect()
     )
     assert r1 == r2
+
+
+def test_canonicalize_url_cases(spark):
+    from layout_parser_spark.operators.webgraph import canonicalize_url
+
+    cases = [
+        # (input, canonical)
+        ("https://A.Com/Path", "https://a.com/Path"),          # host lc, path kept
+        ("HTTPS://a.com:443/x", "https://a.com/x"),            # scheme lc + default port
+        ("http://a.com:80/", "http://a.com/"),
+        ("http://a.com:8080/", "http://a.com:8080/"),          # non-default port kept
+        ("https://a.com", "https://a.com/"),                   # empty path → /
+        ("https://a.com/x#sec-2", "https://a.com/x"),          # fragment dropped
+        ("https://a.com/x?utm_source=n&b=2&a=1", "https://a.com/x?a=1&b=2"),
+        ("https://a.com/x?b=2&a=1&gclid=z", "https://a.com/x?a=1&b=2"),
+        ("https://a.com/x?utm_campaign=only", "https://a.com/x"),  # all-tracking → no query
+        ("https://a.com/x?", "https://a.com/x"),               # empty query dropped
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.c for r in df.select(canonicalize_url("url").alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_collapses_variants(spark):
+    from layout_parser_spark.operators.webgraph import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://a.com/x?b=2&a=1"),
+            (1, "HTTPS://A.COM:443/x?a=1&b=2&utm_source=m#top"),
+            (2, "https://a.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.canonical_url: (r.keep_id, r.n_variants)
+           for r in url_dedup(df).collect()}
+    assert out == {
+        "https://a.com/x?a=1&b=2": (0, 2),
+        "https://a.com/y": (2, 1),
+    }
