@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (44/44): the hash-based family
+Every query has an oracle entry (45/45): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
@@ -908,6 +908,41 @@ sigs AS (
 )
 SELECT id_a, id_b, ROUND(e, 6) AS est_jaccard
 FROM est WHERE e >= {threshold}
+"""
+
+
+def q_dedup_clusters(spark, sf: str) -> DataFrame:
+    """Near-dup CLUSTERS: the same MinHash-LSH pair graph as
+    ``minhash_lsh``, closed transitively into components (pointer-
+    doubling label propagation) with a canonical min-id keeper — the
+    keep-list a production dedup actually emits.  Oracle: the pair SQL
+    nested under a WITH RECURSIVE min-label closure."""
+    from layout_parser_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(
+        _t(spark, sf, "documents"), num_hashes=32, bands=16, threshold=0.05
+    )
+
+
+def _sql_dedup_clusters() -> str:
+    inner = _sql_minhash_lsh(num_hashes=32, bands=16, threshold=0.05)
+    return f"""
+WITH RECURSIVE pairs AS (
+{inner}
+), ed AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.lbl FROM reach r JOIN ed e ON e.v = r.id
+), labels AS (
+  SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id
+)
+SELECT d.doc_id AS id, l.lbl AS cluster_id,
+       l.lbl = d.doc_id AS is_keeper
+FROM documents d JOIN labels l ON l.id = d.doc_id
 """
 
 
@@ -1869,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_graph": q_host_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
         "url_dedup": q_url_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
@@ -1920,6 +1956,7 @@ def oracle_sql() -> dict[str, str]:
         "host_link_graph": SQL_HOST_LINKS,
         "pagerank_hosts": _sql_pagerank(3),
         "url_dedup": SQL_URL_DEDUP,
+        "dedup_clusters": _sql_dedup_clusters(),
         "dedup_embedding_cosine": SQL_EMB_DEDUP,
         "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
         "corpus_filter_pipeline": _sql_corpus_pipeline(),

@@ -737,3 +737,46 @@ def duplicated_span_removal(
             F.col("_n").cast("long") - F.coalesce(F.col("n_kept"), F.lit(0))
         ).alias("n_removed"),
     )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.7,
+    max_iter: int = 25,
+) -> DataFrame:
+    """The actionable end of near-dup detection: MinHash-LSH pairs →
+    connected components → one cluster id per document and a canonical
+    keeper (minimum id) per cluster.  Pairs alone don't dedup a corpus —
+    transitive near-dup chains (A≈B≈C with A̸≈C) must land in ONE
+    cluster or the keep-list double-keeps.
+
+    Returns (id, cluster_id, is_keeper); docs outside every pair are
+    their own singleton cluster.
+
+    Scale shape: candidate pairs from the banded equi-join
+    (``minhash_lsh_pairs``), components via the pointer-doubling
+    label-propagation engine (``webgraph.connected_components`` —
+    O(log n) rounds over contracted edges), final assignment one LEFT
+    join from the corpus id list."""
+    from .webgraph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands, n=n, threshold=threshold,
+    )
+    comp = connected_components(
+        pairs, u="id_a", v="id_b", max_iter=max_iter
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(comp, on="id", how="left").select(
+        "id",
+        F.coalesce(F.col("lbl"), F.col("id")).alias("cluster_id"),
+        (F.coalesce(F.col("lbl"), F.col("id")) == F.col("id")).alias(
+            "is_keeper"
+        ),
+    )

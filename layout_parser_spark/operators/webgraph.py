@@ -219,3 +219,79 @@ def url_dedup(
             F.count(F.lit(1)).alias("n_variants"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# global connected components (graph machinery shared by dedup clustering)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, u: str = "u", v: str = "v", max_iter: int = 25
+) -> DataFrame:
+    """Undirected connected components over a global edge list →
+    (id, lbl) where ``lbl`` is the minimum node id reachable — the
+    canonical component representative.
+
+    Same engine as ``grouping.detect_lines_distributed`` minus the
+    per-document key: min-label propagation with POINTER DOUBLING
+    (lbl := lbl(lbl)) so chains collapse in O(log n) rounds, edges
+    CONTRACTED onto current labels each round, every round's outputs
+    ``localCheckpoint``-ed (constant lineage).  The per-round
+    ``limit(1).count()`` early-stop probe and the bounding ``max_iter``
+    are the standard O(log n)-loop convergence checks — driver-side by
+    design, each over the contracted (shrinking) label delta."""
+    e = (
+        edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint(
+        eager=True
+    )
+    cur = e.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = cur.select(
+            F.col("u").alias("id"), F.col("v").alias("nl")
+        ).unionByName(
+            cur.select(F.col("v").alias("id"), F.col("u").alias("nl"))
+        )
+        new = (
+            labels.join(nbr, on="id", how="left")
+            .groupBy("id")
+            .agg(F.least(F.min("lbl"), F.min("nl")).alias("lbl"))
+        )
+        ptr = new.select(
+            F.col("id").alias("lbl"), F.col("lbl").alias("_l2")
+        )
+        new = (
+            new.join(ptr, on="lbl", how="left")
+            .select("id", F.coalesce(F.col("_l2"), F.col("lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), on="id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+        lu = labels.select(F.col("id").alias("u"), F.col("lbl").alias("lu"))
+        lv = labels.select(F.col("id").alias("v"), F.col("lbl").alias("lv"))
+        cur = (
+            cur.join(lu, on="u")
+            .join(lv, on="v")
+            .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -120,3 +120,43 @@ def test_url_dedup_collapses_variants(spark):
         "https://a.com/x?a=1&b=2": (0, 2),
         "https://a.com/y": (2, 1),
     }
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """A 5-node chain (worst case for 1-hop propagation) collapses to
+    min-label in O(log n) pointer-doubling rounds; separate pair forms
+    its own component."""
+    from layout_parser_spark.operators.webgraph import connected_components
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "u long, v long"
+    )
+    out = {r.id: r.lbl for r in connected_components(e).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_transitive(spark):
+    """A≈B and B≈C but A̸≈C must still cluster together (the reason
+    pairs alone can't drive a keep-list)."""
+    from layout_parser_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "the quick brown fox jumps over the lazy cat today"),
+            (2, "a quick brown fox jumps over the lazy cat today ok"),
+            (3, "completely unrelated text about distributed dataframes"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: (r.cluster_id, r.is_keeper)
+        for r in dedup_clusters(
+            docs, num_hashes=32, bands=16, threshold=0.05
+        ).collect()
+    }
+    assert out[0] == (0, True)
+    # 1 and 2 chain through shared shingles into doc 0's cluster
+    assert out[1][0] == out[2][0] == 0
+    assert not out[1][1] and not out[2][1]
+    assert out[3] == (3, True)  # singleton keeps itself
