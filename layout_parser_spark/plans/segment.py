@@ -35,6 +35,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
 from ..schema import FIELD_NAMES, LAYOUT, TEXTBLOCK
+from ..sources.charset import decode_payload
 
 TAG_TYPE = {
     "header": "Header",
@@ -155,7 +156,7 @@ def segment_html(html: pd.Series) -> pd.DataFrame:
             blocks.append([])
             continue
         if isinstance(payload, (bytes, bytearray)):
-            payload = payload.decode("utf-8", errors="replace")
+            payload = decode_payload(payload)
         w, h, rows = parse_page(payload)
         pages.append({"width": w, "height": h, "index": 0})
         blocks.append(rows)
@@ -346,7 +347,7 @@ def segment_pages_arrays(pages_df, html_col: str = "html") -> "DataFrame":
                         cols[n].append([])
                     continue
                 if isinstance(payload, (bytes, bytearray)):
-                    payload = payload.decode("utf-8", errors="replace")
+                    payload = decode_payload(payload)
                 w, h, arrs = parse_page_arrays(payload, parser_cls)
                 ws.append(w)
                 hs.append(h)

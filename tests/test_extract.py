@@ -200,3 +200,44 @@ def test_lang_filter_pushed_to_scan(spark, tmp_path):
     plan = extract_main_text(pages)._jdf.queryExecution().executedPlan().toString()
     scan = plan[plan.index("Scan parquet"):]
     assert re.search(r"PushedFilters: \[.*(EqualTo\(lang,en\)|lang).*\]", scan), scan[:500]
+
+
+def test_charset_sniffing_in_segmentation(spark):
+    """Non-UTF-8 crawl payloads decode via the sniffed charset: a
+    shift_jis page with a meta declaration and an undeclared
+    windows-1252 page both segment with correct text (a hard utf-8
+    decode would mojibake or replace)."""
+    from layout_parser_spark.plans.segment import segment_pages
+
+    sj = (
+        '<html data-w="100" data-h="100">'
+        '<meta charset="shift_jis">'
+        '<p data-box="0,0,50,50">こんにちは 世界</p></html>'
+    ).encode("shift_jis")
+    cp = (
+        b'<html data-w="100" data-h="100">'
+        b'<p data-box="0,0,50,50">caf\xe9 cr\xe8me</p></html>'
+    )  # bare latin-1/cp1252 bytes, NOT valid utf-8, no declaration
+    df = spark.createDataFrame(
+        [("sj", bytearray(sj)), ("cp", bytearray(cp))],
+        "url string, html binary",
+    )
+    out = {r.url: r.blocks for r in segment_pages(df).collect()}
+    assert out["sj"][0].text == "こんにちは 世界"
+    assert out["cp"][0].text == "café crème"
+
+
+def test_charset_utf8_payloads_unchanged(spark):
+    """Valid UTF-8 (the overwhelming common case) still decodes
+    identically — the sniff must not perturb the flagship contract."""
+    from layout_parser_spark.plans.segment import segment_pages
+
+    html = (
+        '<html data-w="100" data-h="100">'
+        '<p data-box="0,0,50,50">héllo wörld</p></html>'
+    ).encode("utf-8")
+    df = spark.createDataFrame(
+        [("u", bytearray(html))], "url string, html binary"
+    )
+    out = segment_pages(df).collect()[0]
+    assert out.blocks[0].text == "héllo wörld"

@@ -81,3 +81,25 @@ def test_read_warc_to_extraction_byte_identity(spark, tmp_path):
     }
     for r in _records():
         assert out[r["url"]] == r["text"], r["url"]
+
+
+def test_charset_sniff_unit_cases():
+    from layout_parser_spark.sources.charset import (
+        decode_payload,
+        sniff_charset,
+    )
+
+    assert sniff_charset("plain utf8 é".encode()) == "utf-8"
+    assert sniff_charset(b"\xef\xbb\xbfx") == "utf-8-sig"
+    assert sniff_charset(b"\xff\xfe" + "hi".encode("utf-16-le")) == "utf-16-le"
+    # WHATWG: the latin-1 LABEL means windows-1252
+    assert (
+        sniff_charset(b'<meta charset="ISO-8859-1">x') == "cp1252"
+    )
+    # bogus declared charset falls through, never raises
+    assert sniff_charset(b'<meta charset="no-such-enc">caf\xe9') == "cp1252"
+    assert decode_payload(b'<meta charset="no-such-enc">caf\xe9').endswith(
+        "café"
+    )
+    # str passthrough
+    assert decode_payload("already text") == "already text"
