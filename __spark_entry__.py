@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (45/45): the hash-based family
+Every query has an oracle entry (46/46): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
@@ -908,6 +908,57 @@ sigs AS (
 )
 SELECT id_a, id_b, ROUND(e, 6) AS est_jaccard
 FROM est WHERE e >= {threshold}
+"""
+
+
+def q_registered_domains(spark, sf: str) -> DataFrame:
+    """eTLD+1 grouping: subdomain-decorated hosts (www./news./cdn. over
+    .co.uk/.com.au/.org/.com) synthesized from doc_id arithmetic must
+    collapse onto their registered domain; oracle derives the expected
+    eTLD+1 directly."""
+    from layout_parser_spark.operators.webgraph import registered_domain
+
+    d = F.col("doc_id")
+    host = (
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("www.shop"), (d % 5).cast("string"),
+                     F.lit(".co.uk")),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(F.lit("news.site"), (d % 7).cast("string"),
+                     F.lit(".example.com")),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(F.lit("a.b.site"), (d % 3).cast("string"),
+                     F.lit(".org")),
+        )
+        .otherwise(
+            F.concat(F.lit("cdn.media"), (d % 5).cast("string"),
+                     F.lit(".com.au")),
+        )
+    )
+    docs = _t(spark, sf, "documents").select(host.alias("host"))
+    return (
+        docs.groupBy(registered_domain(F.col("host")).alias("domain"))
+        .agg(F.count(F.lit(1)).alias("n_hosts"))
+    )
+
+
+SQL_REGISTERED_DOMAINS = """
+WITH docs AS (
+  SELECT CASE doc_id % 4
+    WHEN 0 THEN 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+    WHEN 1 THEN 'example.com'
+    WHEN 2 THEN 'site' || CAST(doc_id % 3 AS VARCHAR) || '.org'
+    ELSE 'media' || CAST(doc_id % 5 AS VARCHAR) || '.com.au'
+  END AS domain
+  FROM documents
+)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_hosts
+FROM docs GROUP BY domain
 """
 
 
@@ -1905,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "url_dedup": q_url_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "registered_domains": q_registered_domains,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
@@ -1957,6 +2009,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts": _sql_pagerank(3),
         "url_dedup": SQL_URL_DEDUP,
         "dedup_clusters": _sql_dedup_clusters(),
+        "registered_domains": SQL_REGISTERED_DOMAINS,
         "dedup_embedding_cosine": SQL_EMB_DEDUP,
         "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
         "corpus_filter_pipeline": _sql_corpus_pipeline(),

@@ -295,3 +295,42 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# registered domain (public-suffix heuristic)
+# ---------------------------------------------------------------------------
+
+#: second-level labels that combine with a 2-letter ccTLD into a public
+#: suffix (the high-frequency core of the Mozilla Public Suffix List —
+#: a heuristic subset, NOT the full PSL; documented trade: covers
+#: co.uk/com.au/ac.jp-style domains, misses exotic multi-part suffixes)
+MULTI_PART_SLDS = (
+    "co", "com", "net", "org", "gov", "ac", "edu", "sch", "or", "ne", "go",
+)
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1 of a hostname via the public-suffix heuristic: when the
+    last label is a 2-letter ccTLD and the second-to-last is a known
+    multi-part SLD (``MULTI_PART_SLDS``), keep three labels, else two;
+    hosts with fewer than two labels (localhost, IPs are out of scope)
+    pass through.  The host-level dedup/aggregation key one level above
+    ``host_of`` — site grouping by OWNER, not subdomain."""
+    if isinstance(host, str):  # F.when would treat a str as a LITERAL
+        host = F.col(host)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    sld = F.element_at(parts, -2)
+    tld = F.element_at(parts, -1)
+    take3 = (
+        (n >= 3) & (F.length(tld) == 2) & sld.isin(*MULTI_PART_SLDS)
+    )
+    return (
+        F.when(n <= 2, host)
+        .when(
+            take3,
+            F.concat_ws(".", F.element_at(parts, -3), sld, tld),
+        )
+        .otherwise(F.concat_ws(".", sld, tld))
+    )

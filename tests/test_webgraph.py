@@ -160,3 +160,23 @@ def test_dedup_clusters_transitive(spark):
     assert out[1][0] == out[2][0] == 0
     assert not out[1][1] and not out[2][1]
     assert out[3] == (3, True)  # singleton keeps itself
+
+
+def test_registered_domain(spark):
+    from layout_parser_spark.operators.webgraph import registered_domain
+
+    cases = [
+        ("www.bbc.co.uk", "bbc.co.uk"),
+        ("news.example.com", "example.com"),
+        ("a.b.deep.example.org", "example.org"),
+        ("shop.foo.com.au", "foo.com.au"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("site3.example.com", "example.com"),
+        ("t.co", "t.co"),  # 2-label host passes through
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [
+        r.d for r in df.select(registered_domain("host").alias("d")).collect()
+    ]
+    assert got == [want for _, want in cases]
