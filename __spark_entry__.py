@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (46/46): the hash-based family
+Every query has an oracle entry (47/47): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
@@ -908,6 +908,39 @@ sigs AS (
 )
 SELECT id_a, id_b, ROUND(e, 6) AS est_jaccard
 FROM est WHERE e >= {threshold}
+"""
+
+
+def q_docs_quality_model(spark, sf: str) -> DataFrame:
+    """Model-based quality filtering slot: hashing-trick linear
+    classifier (token → md5 lane → weight bucket → integer sum) with
+    deterministic stand-in weights; all-integer so the oracle matches
+    exactly."""
+    from layout_parser_spark.operators.text_analysis import (
+        hashed_linear_score,
+    )
+
+    return hashed_linear_score(_t(spark, sf, "documents"), dim=1024)
+
+
+def _sql_quality_model(dim: int = 1024) -> str:
+    from layout_parser_spark.operators.text_analysis import model_weights
+
+    wlist = ", ".join(str(w) for w in model_weights(dim))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), lanes AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS lane
+  FROM toks
+), scored AS (
+  SELECT doc_id,
+         ([{wlist}])[CAST(lane % {dim} AS INT) + 1] AS w
+  FROM lanes
+)
+SELECT doc_id AS id, CAST(SUM(w) AS BIGINT) AS score_int,
+       SUM(w) > 0 AS keep
+FROM scored GROUP BY doc_id
 """
 
 
@@ -1957,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "dedup_clusters": q_dedup_clusters,
         "registered_domains": q_registered_domains,
+        "docs_quality_model": q_docs_quality_model,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
@@ -2010,6 +2044,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": SQL_URL_DEDUP,
         "dedup_clusters": _sql_dedup_clusters(),
         "registered_domains": SQL_REGISTERED_DOMAINS,
+        "docs_quality_model": _sql_quality_model(1024),
         "dedup_embedding_cosine": SQL_EMB_DEDUP,
         "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
         "corpus_filter_pipeline": _sql_corpus_pipeline(),

@@ -238,3 +238,60 @@ def corpus_top_ngrams(
         F.desc("occurrences"), F.asc("gram")
     )
     return topk.withColumn("rank", F.row_number().over(w_rank))
+
+
+def model_weights(dim: int = 1024, seed: str = "quality-v1"):
+    """Deterministic integer weight vector for the hashed linear
+    classifier — an md5-derived stand-in for trained fasttext-style
+    weights (values in [-1000, 1000]).  Shared by the Spark plan and the
+    SQL-oracle generator; a real deployment swaps in trained weights via
+    the same broadcast-literal slot."""
+    import hashlib
+
+    return [
+        int.from_bytes(hashlib.md5(f"{seed}:{i}".encode()).digest()[:4],
+                       "big") % 2001 - 1000
+        for i in range(dim)
+    ]
+
+
+def hashed_linear_score(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    seed: str = "quality-v1",
+    threshold: int = 0,
+):
+    """fasttext-style document scoring via the hashing trick: token →
+    md5 lane → bucket ``lane % dim`` → weight lookup in a broadcast
+    LITERAL array — NO join, the weight vector rides inside the
+    expression tree to every executor — then one combinable integer sum
+    per document.  Returns (id, score_int BIGINT, keep BOOL).
+
+    This is the model-based quality-filtering slot (CCNet/fasttext
+    language+quality classifiers): swap ``model_weights`` for trained
+    values and the plan is production-shaped.  All-integer arithmetic →
+    the driver oracle value-matches exactly (no float summation-order
+    hazard).
+
+    Scale shape: explode + map-side lookup + hash aggregate on the doc
+    id; weight vectors up to ~10^6 dims fit comfortably as a broadcast
+    literal."""
+    from .dedup import md5_lane60
+
+    W = F.array(*[F.lit(w) for w in model_weights(dim, seed)])
+    toksd = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    tok = toksd.select("id", F.explode("_toks").alias("tok"))
+    scored = tok.select(
+        "id",
+        F.element_at(
+            W, (F.pmod(md5_lane60(F.col("tok")), F.lit(dim)) + 1).cast("int")
+        ).alias("w"),
+    )
+    return scored.groupBy("id").agg(
+        F.sum("w").cast("long").alias("score_int"),
+        (F.sum("w") > threshold).alias("keep"),
+    )

@@ -339,3 +339,29 @@ def test_duplicated_span_removal(spark):
     assert out[0].clean_text.startswith("alpha beta gamma")
     total = out[0].n_kept + out[0].n_removed
     assert total == len(docs[0][1].split())
+
+
+def test_hashed_linear_score_exact(spark):
+    """Hashing-trick classifier: integer weight sums computed by hand
+    must match, and the broadcast-literal lookup must not join."""
+    import hashlib
+
+    from layout_parser_spark.operators.text_analysis import (
+        hashed_linear_score,
+        model_weights,
+    )
+
+    W = model_weights(1024)
+
+    def lane(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    docs = [(0, "alpha beta gamma"), (1, "delta delta")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.id: (r.score_int, r.keep)
+           for r in hashed_linear_score(df).collect()}
+    for did, text in docs:
+        want = sum(W[lane(t) % 1024] for t in text.split(" "))
+        assert out[did] == (want, want > 0)
+    plan = hashed_linear_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # weight lookup is a literal-array index
