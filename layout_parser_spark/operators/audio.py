@@ -262,3 +262,63 @@ def extract_audio_fingerprints(
             )
 
     return df.mapInPandas(gen, schema=schema)
+
+
+def audio_sequence_pairs(
+    df,
+    codes_col: str = "codes",
+    id_col: str = "url",
+    summary_col: str = "afp",
+    max_ber: float = 0.25,
+    n_chunks: int = 8,
+) -> "DataFrame":
+    """BER-tolerant audio matching for HEAVY transcodes (the
+    Haitsma-Kalker acceptance test): candidates from the summary-hash
+    pigeonhole (same equi-join as ``phash.phash_near_dup_pairs``), then
+    verify by the mean bit-error-rate over the ALIGNED per-frame
+    32-bit code sequences — Haitsma & Kalker 2002 accept at BER < 0.35
+    over the aligned block; the doc-level hamming path alone misses
+    transcodes that flip >7 summary bits but keep frame structure.
+
+    Returns (id_a, id_b, ber DOUBLE, n_frames) for pairs with
+    ber <= max_ber.  The BER fold is columnar (zip_with + bit_count +
+    aggregate) — no Python in the verify stage."""
+    from pyspark.sql import functions as F
+
+    from .phash import phash_near_dup_pairs
+
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(summary_col).alias("sig"),
+        F.col(codes_col).alias("cd"),
+    )
+    # candidate ids from the widest pigeonhole radius the chunking allows
+    cand = phash_near_dup_pairs(
+        sigs, hash_col="sig", id_col="id",
+        max_hamming=n_chunks - 1, n_chunks=n_chunks,
+    ).select("id_a", "id_b")
+    a = sigs.select(F.col("id").alias("id_a"), F.col("cd").alias("ca"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("cd").alias("cb"))
+    joined = cand.join(a, on="id_a").join(b, on="id_b")
+    n = F.least(F.size("ca"), F.size("cb"))
+    # align to the common prefix; zip_with would null-pad the tail
+    xa = F.slice(F.col("ca"), 1, F.greatest(n, F.lit(1)))
+    xb = F.slice(F.col("cb"), 1, F.greatest(n, F.lit(1)))
+    bits = F.aggregate(
+        F.zip_with(
+            xa, xb,
+            lambda x, y: F.bit_count(
+                x.cast("long").bitwiseXOR(y.cast("long"))
+                .bitwiseAND(F.lit(0xFFFFFFFF))
+            ),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    out = joined.select(
+        "id_a", "id_b",
+        F.when(n > 0, F.round(bits / (32.0 * n), 6))
+        .otherwise(F.lit(1.0)).alias("ber"),
+        n.cast("long").alias("n_frames"),
+    )
+    return out.where(F.col("ber") <= max_ber)

@@ -58,3 +58,27 @@ def windowed_block_stats(extracted: DataFrame, watermark: str = "1 hour") -> Dat
             "avg_blocks",
         )
     )
+
+
+def dedup_stream(
+    pages_stream: DataFrame,
+    text_col: str = "text",
+    watermark_col: str = "warc_ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup over a crawl ingest: md5 digest of the text
+    + ``dropDuplicatesWithinWatermark`` — the first arrival per digest
+    inside the watermark horizon survives, and state is BOUNDED by the
+    watermark (plain dropDuplicates on an unbounded stream grows state
+    forever; the horizon is the dedup contract a rolling crawl actually
+    wants: re-fetches of the same page arrive close together).
+
+    The streaming twin of ``dedup.dedup_exact`` — same digest key, so a
+    batch backfill and the live stream agree on what is a duplicate."""
+    return (
+        pages_stream.withColumn(
+            "digest", F.md5(F.encode(F.col(text_col), "utf-8"))
+        )
+        .withWatermark(watermark_col, delay)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )

@@ -181,3 +181,27 @@ def test_audio_fingerprint_pairing(spark):
     }
     assert ("t_gain", "t_orig") in pairs
     assert not any("o_other" in p for p in pairs)
+
+
+def test_audio_sequence_pairs_ber(spark):
+    """Heavy-transcode acceptance: pair A/B share the summary hash but
+    differ in a few frame-code bits (low BER, accepted); C's codes are
+    inverted (BER ~1, rejected even though pigeonholed)."""
+    from layout_parser_spark.operators.audio import audio_sequence_pairs
+
+    base = [0x0F0F0F0F, 0x12345678, 0x0000FFFF, 0x55555555] * 4
+    flip2 = list(base)
+    flip2[0] ^= 0b11  # 2 bits over 16 frames*32 bits → BER ~0.004
+    def s32(v):  # codes are signed int32 columns
+        return v - (1 << 32) if v >= (1 << 31) else v
+
+    inv = [s32(c ^ 0xFFFFFFFF) for c in base]
+    df = spark.createDataFrame(
+        [("A", 7, base), ("B", 7, flip2), ("C", 7, inv)],
+        "url string, afp long, codes array<int>",
+    )
+    out = {(r.id_a, r.id_b): (r.ber, r.n_frames)
+           for r in audio_sequence_pairs(df, max_ber=0.25).collect()}
+    assert set(out) == {("A", "B")}
+    ber, n = out[("A", "B")]
+    assert n == 16 and 0 < ber < 0.01

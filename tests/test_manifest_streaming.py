@@ -183,3 +183,39 @@ def test_iceberg_ddl_and_conf_construction(spark):
 
     with _pytest.raises(NotImplementedError, match="Iceberg runtime"):
         create_pages_table(spark, "lps.db.pages", 16)
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: the duplicate text arriving within the
+    watermark horizon is dropped; distinct texts survive."""
+    import datetime as dt
+
+    from layout_parser_spark.streaming import dedup_stream
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ck"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", t0, "same text"),
+        ("u2", t0 + dt.timedelta(seconds=30), "same text"),   # dup, in horizon
+        ("u3", t0 + dt.timedelta(seconds=60), "other text"),
+    ]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    ).coalesce(1).write.parquet(str(src / "batch0"))
+    schema = spark.read.parquet(str(src / "batch0")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out)).collect()
+    texts = sorted(r.text for r in got)
+    assert texts == ["other text", "same text"]  # one copy each
