@@ -220,7 +220,8 @@ def scaling_child(cores: int):
     run_extraction(spark, pages_dir)
     runs = []
     cpu_per_run = []
-    for _ in range(4):
+    n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "4"))
+    for _ in range(n_runs):
         c0 = _tree_cpu_seconds()
         dt, n, b = run_extraction(spark, pages_dir)
         cpu_per_run.append(round(_tree_cpu_seconds() - c0, 2))
