@@ -268,6 +268,7 @@ def scaling_main():
     cpu_eff = all_runs[lo]["cpu_sec_best"] / max(
         all_runs[hi]["cpu_sec_best"], 1e-9
     )
+    n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "4"))
     try:
         with open("/proc/loadavg") as f:
             loadavg = f.read().split()[0]
@@ -277,12 +278,12 @@ def scaling_main():
 
 Flagship extraction job (segment → boilerplate drop → XY-cut → text
 assembly) over the same pre-materialized synthetic pages parquet
-({PAGES_DIR}), identical input at both parallelism levels; 2 warm-up
-passes then best of 4 timed runs (the sandbox VM shows noisy-neighbor CPU
+(…pages_{{sf}}_x{SCALING_REPLICATE}), identical input at both parallelism levels; 2 warm-up
+passes then best of {n_runs} timed runs (the sandbox VM shows noisy-neighbor CPU
 steal, so best-of-N estimates the job's own throughput).  local[{lo}] vs
 local[{hi}] is the sandbox stand-in for N vs {ratio:.0f}N executors.
-External host load at measurement time (1-min loadavg, this VM shows
-neighbor load 10-15 even when the bench is idle): {loadavg}.
+1-min loadavg sampled AFTER the bench's own 32-wide run finished (so it
+includes our own tail; the gate is applied BEFORE starting): {loadavg}.
 
 | parallelism | docs/sec (best) | all runs | engine CPU-sec/run (best) |
 |---|---|---|---|
