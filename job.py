@@ -54,6 +54,14 @@ def main(argv=None) -> int:
                     help="process at most N pending buckets (for canaries)")
     ap.add_argument("--lang", default=None,
                     help="optional lang pushdown filter, e.g. 'en'")
+    ap.add_argument("--curate", action="store_true",
+                    help="curation mode: input is an EXTRACTION OUTPUT "
+                         "parquet; run the URL-dedup -> exact-dedup -> "
+                         "near-dup-cluster -> quality funnel and write "
+                         "<output>/corpus (keep=true rows) plus "
+                         "<output>/stats (one-row funnel report)")
+    ap.add_argument("--minhash-threshold", type=float, default=0.7)
+    ap.add_argument("--min-tokens", type=int, default=5)
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -65,6 +73,29 @@ def main(argv=None) -> int:
     from layout_parser_spark.sources.iceberg import read_pages
 
     spark = get_spark("lps-extract")
+    if args.curate:
+        from layout_parser_spark.plans.curate import (
+            curate_corpus,
+            curation_stats,
+        )
+
+        annotated = curate_corpus(
+            spark.read.parquet(args.input),
+            minhash_threshold=args.minhash_threshold,
+            min_tokens=args.min_tokens,
+        )
+        annotated.where("keep").write.mode("overwrite").parquet(
+            f"{args.output}/corpus"
+        )
+        stats_df = curation_stats(annotated)
+        # stats land NEXT TO the corpus (works on HDFS/S3, not just local)
+        stats_df.coalesce(1).write.mode("overwrite").json(
+            f"{args.output}/stats"
+        )
+        import json as _json
+
+        print(_json.dumps(stats_df.collect()[0].asDict()))
+        return 0
     fmt = args.input_format
     if fmt == "auto":
         if "/" not in args.input:

@@ -219,3 +219,79 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     got = spark.read.parquet(str(out)).collect()
     texts = sorted(r.text for r in got)
     assert texts == ["other text", "same text"]  # one copy each
+
+
+def test_curate_corpus_funnel(spark, tmp_path):
+    """End-to-end curation funnel: URL variants collapse, exact copies
+    collapse, near-dups cluster to one representative, junk fails the
+    quality gate — flags AND the one-row stats agree."""
+    import json
+    import subprocess
+    import sys
+
+    from layout_parser_spark.plans.curate import (
+        curate_corpus,
+        curation_stats,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and the bird "
+            "today with the usual calm of the morning")
+    near = ("the quick brown fox jumps over the lazy cat and the bird "
+            "today with the usual calm of the morning")
+    rows = [
+        # same canonical URL twice (tracking params) → url dedup
+        ("https://a.com/x?utm_source=m", "2024-01-01T00:00:00", good),
+        ("https://a.com/x", "2024-01-02T00:00:00", good),
+        # exact copy at a different URL → exact dedup
+        ("https://b.com/copy", "2024-01-01T00:00:00", good),
+        # near-dup → cluster loser
+        ("https://c.com/near", "2024-01-01T00:00:00", near),
+        # too short → quality gate
+        ("https://d.com/short", "2024-01-01T00:00:00", "tiny"),
+        # distinct survivor
+        ("https://e.com/other", "2024-01-01T00:00:00",
+         "completely different article text about columnar engines and "
+         "the joy of equi-joins in the morning light of the data center"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, extracted_text string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    ann = curate_corpus(df, minhash_threshold=0.5, min_tokens=5)
+    flags = {r.url: r for r in ann.collect()}
+
+    # url stage: earliest fetch per canonical keeps (utm variant, day 1)
+    assert flags["https://a.com/x?utm_source=m"].url_keep
+    assert not flags["https://a.com/x"].url_keep
+    # exact stage: b.com/copy duplicates the a.com text
+    assert not flags["https://b.com/copy"].exact_keep
+    # near-dup: c.com/near clusters with the a.com survivor and loses
+    a_url = "https://a.com/x?utm_source=m"
+    assert flags["https://c.com/near"].cluster_id == flags[a_url].cluster_id
+    assert not flags["https://c.com/near"].cluster_keep
+    # quality: 'tiny' fails min_tokens
+    assert not flags["https://d.com/short"].quality_keep
+    # kept set: the two funnel survivors, minus any the (deterministic
+    # stand-in) classifier scores non-positive — compute the expectation
+    import hashlib
+
+    from layout_parser_spark.operators.text_analysis import model_weights
+
+    W = model_weights(1024)
+
+    def q_keep(text):
+        sc = sum(
+            W[int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 1024]
+            for t in text.split(" ")
+        )
+        return sc > 0
+
+    survivors = {a_url: good, "https://e.com/other": rows[5][2]}
+    expected_kept = {u for u, t in survivors.items() if q_keep(t)}
+    kept = {u for u, r in flags.items() if r.keep}
+    assert kept == expected_kept
+
+    st = curation_stats(ann).collect()[0]
+    assert st.n_input == 6
+    assert st.url_keep == 5 and st.exact_keep == 4
+    assert st.cluster_keep == 3
+    assert st.keep == len(kept)
