@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (47/47): the hash-based family
+Every query has an oracle entry (48/48): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
@@ -941,6 +941,53 @@ WITH toks AS (
 SELECT doc_id AS id, CAST(SUM(w) AS BIGINT) AS score_int,
        SUM(w) > 0 AS keep
 FROM scored GROUP BY doc_id
+"""
+
+
+def q_pack_sequences(spark, sf: str) -> DataFrame:
+    """Trainer-feed staging: deterministic md5-lane train/val/test split
+    + greedy in-order sequence packing into 512-token bins per split
+    (one window cumsum, partitioned by the split)."""
+    from layout_parser_spark.operators.text_analysis import (
+        hash_split,
+        pack_sequences,
+    )
+
+    d = _t(spark, sf, "documents").withColumn(
+        "split", hash_split(F.col("doc_id"))
+    )
+    return pack_sequences(
+        d, target_tokens=512, part_col="split"
+    ).select(
+        "id", "part", "n_tokens", "bin_id",
+        F.col("bin_offset").cast("long").alias("bin_offset"),
+    )
+
+
+SQL_PACK_SEQUENCES = """
+WITH base AS (
+  SELECT doc_id AS id,
+         CASE
+           WHEN ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)),
+                 1, 15))::BIGINT % 100 < 98 THEN 'train'
+           WHEN ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)),
+                 1, 15))::BIGINT % 100 < 99 THEN 'val'
+           ELSE 'test'
+         END AS part,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT id, part, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY part ORDER BY id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS before
+  FROM base
+)
+SELECT id, part, n_tokens,
+       before // 512 AS bin_id,
+       before % 512 AS bin_offset
+FROM cum
 """
 
 
@@ -1991,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "registered_domains": q_registered_domains,
         "docs_quality_model": q_docs_quality_model,
+        "pack_sequences": q_pack_sequences,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
@@ -2045,6 +2093,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _sql_dedup_clusters(),
         "registered_domains": SQL_REGISTERED_DOMAINS,
         "docs_quality_model": _sql_quality_model(1024),
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "dedup_embedding_cosine": SQL_EMB_DEDUP,
         "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
         "corpus_filter_pipeline": _sql_corpus_pipeline(),

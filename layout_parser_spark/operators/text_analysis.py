@@ -295,3 +295,69 @@ def hashed_linear_score(
         F.sum("w").cast("long").alias("score_int"),
         (F.sum("w") > threshold).alias("keep"),
     )
+
+
+def hash_split(id_c, train_pct: int = 98, val_pct: int = 1,
+               seed: str = "split-v1"):
+    """Deterministic train/val/test assignment by md5 lane of the id —
+    stable across runs, machines, and corpus growth (a doc's split never
+    changes when other docs arrive; the held-out set can't leak via
+    re-shuffles).  Returns a string Column."""
+    from .dedup import md5_lane60
+
+    bucket = F.pmod(
+        md5_lane60(F.concat(F.lit(seed + ":"), id_c.cast("string"))),
+        F.lit(100),
+    )
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def pack_sequences(
+    df,
+    target_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col=None,
+):
+    """Greedy in-order sequence packing for trainer feeds: documents are
+    laid end-to-end in deterministic id order and cut into bins of
+    ~``target_tokens`` — ``bin_id = (running_total_before_doc) div
+    target`` (each bin holds the docs whose starting offset falls inside
+    it; a doc spilling past a boundary stays in its starting bin, the
+    standard first-fit-in-order approximation).
+
+    Returns (id, n_tokens, bin_id, bin_offset).
+
+    Scale shape: ONE window cumsum.  Partition the window by a real
+    partition column (``part_col`` — e.g. the hash_split bucket or a
+    date) so no single ordering spans the corpus: packing is per-group,
+    which is exactly what a sharded trainer wants anyway.  With
+    ``part_col=None`` the window is global — fine for tests, WARNED
+    against at scale."""
+    from pyspark.sql import Window
+
+    n = F.size(tokens(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("id"), n.cast("long").alias("n_tokens"),
+        *([F.col(part_col).alias("part")] if part_col else []),
+    )
+    w = (
+        Window.partitionBy("part") if part_col else Window.partitionBy()
+    ).orderBy("id")
+    before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return base.select(
+        "id",
+        *(["part"] if part_col else []),
+        "n_tokens",
+        ((before - before % target_tokens) / target_tokens)
+        .cast("long")
+        .alias("bin_id"),
+        (before % target_tokens).alias("bin_offset"),
+    )

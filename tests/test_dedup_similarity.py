@@ -365,3 +365,44 @@ def test_hashed_linear_score_exact(spark):
         assert out[did] == (want, want > 0)
     plan = hashed_linear_score(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # weight lookup is a literal-array index
+
+
+def test_hash_split_stability_and_packing(spark):
+    """A doc's split never changes when the corpus grows; packing bins
+    are contiguous in-order with offsets that match the running sum."""
+    from pyspark.sql import functions as F
+
+    from layout_parser_spark.operators.text_analysis import (
+        hash_split,
+        pack_sequences,
+    )
+
+    small = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    big = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    s_small = {
+        r.doc_id: r.s
+        for r in small.select(
+            "doc_id", hash_split(F.col("doc_id")).alias("s")
+        ).collect()
+    }
+    s_big = {
+        r.doc_id: r.s
+        for r in big.select(
+            "doc_id", hash_split(F.col("doc_id")).alias("s")
+        ).collect()
+    }
+    assert all(s_big[k] == v for k, v in s_small.items())
+    assert set(s_big.values()) == {"train", "val", "test"}
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (3 + i % 4))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    packed = sorted(
+        pack_sequences(docs, target_tokens=10).collect(),
+        key=lambda r: r.id,
+    )
+    run = 0
+    for r in packed:
+        assert r.bin_id == run // 10 and r.bin_offset == run % 10
+        run += r.n_tokens
