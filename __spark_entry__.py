@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (48/48): the hash-based family
+Every query has an oracle entry (49/49): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
@@ -988,6 +988,49 @@ SELECT id, part, n_tokens,
        before // 512 AS bin_id,
        before % 512 AS bin_offset
 FROM cum
+"""
+
+
+def q_snapshot_diff(spark, sf: str) -> DataFrame:
+    """Incremental-crawl bookkeeping: diff two deterministic snapshot
+    views of the corpus (docs %7==0 appear only in the new snapshot,
+    %11==0 only in the old, %5==0 change content) — only added/changed
+    rows would re-enter the pipeline."""
+    from layout_parser_spark.operators.webgraph import snapshot_diff
+
+    base = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    old = base.where(d % 7 != 0).select(
+        F.col("doc_id").alias("url"), F.col("text")
+    )
+    new = base.where(d % 11 != 0).select(
+        F.col("doc_id").alias("url"),
+        F.when(d % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH o AS (
+  SELECT doc_id AS url, md5(text) AS old_digest
+  FROM documents WHERE doc_id % 7 != 0
+), n AS (
+  SELECT doc_id AS url,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)
+           AS new_digest
+  FROM documents WHERE doc_id % 11 != 0
+)
+SELECT url,
+       CASE
+         WHEN old_digest IS NULL THEN 'added'
+         WHEN new_digest IS NULL THEN 'removed'
+         WHEN old_digest != new_digest THEN 'changed'
+         ELSE 'unchanged'
+       END AS status,
+       old_digest, new_digest
+FROM o FULL OUTER JOIN n USING (url)
 """
 
 
@@ -2039,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registered_domains": q_registered_domains,
         "docs_quality_model": q_docs_quality_model,
         "pack_sequences": q_pack_sequences,
+        "snapshot_diff": q_snapshot_diff,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
@@ -2094,6 +2138,7 @@ def oracle_sql() -> dict[str, str]:
         "registered_domains": SQL_REGISTERED_DOMAINS,
         "docs_quality_model": _sql_quality_model(1024),
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "dedup_embedding_cosine": SQL_EMB_DEDUP,
         "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
         "corpus_filter_pipeline": _sql_corpus_pipeline(),

@@ -334,3 +334,35 @@ def registered_domain(host: Column) -> Column:
         )
         .otherwise(F.concat_ws(".", sld, tld))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-crawl diff between two corpus snapshots:
+    (url, status ∈ added|removed|changed|unchanged, old_digest,
+    new_digest).  The bookkeeping behind incremental re-processing —
+    only ``added``/``changed`` rows re-enter the pipeline, which is how
+    a 10^12-doc corpus refreshes without a full recompute.
+
+    One full-outer equi-join on the url with md5 digests computed
+    map-side (content never shuffles)."""
+    o = old.select(
+        F.col(url_col).alias("url"),
+        F.md5(F.encode(F.col(text_col), "utf-8")).alias("old_digest"),
+    )
+    n = new.select(
+        F.col(url_col).alias("url"),
+        F.md5(F.encode(F.col(text_col), "utf-8")).alias("new_digest"),
+    )
+    j = o.join(n, on="url", how="full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("url", status.alias("status"), "old_digest", "new_digest")

@@ -180,3 +180,35 @@ def test_registered_domain(spark):
         r.d for r in df.select(registered_domain("host").alias("d")).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_canonicalize_url_idempotent_property(spark):
+    """Property: canonicalization is idempotent — canon(canon(u)) ==
+    canon(u) — over a generated grid of scheme/case/port/params/fragment
+    combinations (exhaustive 384-case grid; evaluation batched through
+    ONE Spark job for speed)."""
+    from itertools import product
+
+    from layout_parser_spark.operators.webgraph import canonicalize_url
+
+    urls = []
+    for scheme, host, port, path, query, frag in product(
+        ["http", "HTTPS"],
+        ["A.com", "www.b.co.uk"],
+        ["", ":80", ":443", ":8080"],
+        ["", "/", "/X/y"],
+        ["", "?b=2&a=1", "?utm_source=x", "?utm_a=1&z=9&b=2"],
+        ["", "#frag"],
+    ):
+        urls.append(f"{scheme}://{host}{port}{path}{query}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(
+        F.col("url"), canonicalize_url(F.col("url")).alias("c1")
+    )
+    both = once.select(
+        "url", "c1", canonicalize_url(F.col("c1")).alias("c2")
+    ).collect()
+    bad = [(r.url, r.c1, r.c2) for r in both if r.c1 != r.c2]
+    assert not bad, f"non-idempotent: {bad[:5]}"
+    # and the canonical form never retains fragments or tracking params
+    assert all("#" not in r.c1 and "utm_" not in r.c1 for r in both)
