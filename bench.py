@@ -570,6 +570,45 @@ def decode_main():
     print(json.dumps({"metric": "decode_stage", "formats": out, "cpus": 32}))
 
 
+def graph_main():
+    """--graph: iterative/graph operator timings at sf0.1 (not in the
+    headline suite — dedup_clusters runs O(log n) component rounds and
+    pagerank 3 fixed iterations; tracked here round-over-round
+    instead).  Writes BENCH/GRAPH.md."""
+    import __spark_entry__ as entry
+
+    spark = get_session(CPUS)
+    qs = entry.queries()
+    rows = []
+    for name in ("host_link_graph", "pagerank_hosts", "dedup_clusters",
+                 "url_dedup", "pack_sequences", "snapshot_diff"):
+        fn = qs[name]
+        times = []
+        n_rows = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_rows = fn(spark, SF_DIR).count()
+            times.append(round(time.perf_counter() - t0, 2))
+        rows.append((name, n_rows, min(times), times))
+    md_rows = "\n".join(
+        f"| {n} | {r} | {b} | {t} |" for n, r, b, t in rows
+    )
+    md = f"""# BENCH — web-graph / iterative operator timings
+
+local[{CPUS}], {os.path.basename(SF_DIR)}, best of 2 (all runs shown).
+dedup_clusters = MinHash pairs + pointer-doubling connected components;
+pagerank_hosts = 3 fixed-point iterations over the host graph.
+
+| query | rows | best (s) | runs |
+|---|---|---|---|
+{md_rows}
+"""
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/GRAPH.md", "w") as f:
+        f.write(md)
+    print(json.dumps({n: b for n, _r, b, _t in rows}))
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
@@ -581,5 +620,7 @@ if __name__ == "__main__":
         quad_main()
     elif "--decode" in sys.argv:
         decode_main()
+    elif "--graph" in sys.argv:
+        graph_main()
     else:
         main()
