@@ -100,6 +100,10 @@ def pagerank_hosts(
         rank'           = base + dangling share + Σ edge contribs
 
     Returns (host, rank_micro BIGINT) with Σ rank ≈ UNIT."""
+    # materialize the edge list once: it is joined EVERY iteration, and
+    # without this the whole upstream lineage (page render + link regex
+    # + host aggregate) re-executes per round
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src_host").alias("host"))
         .union(edges.select(F.col("dst_host").alias("host")))
