@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (49/49): the hash-based family
+Every query has an oracle entry (50/50): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
@@ -988,6 +988,41 @@ SELECT id, part, n_tokens,
        before // 512 AS bin_id,
        before % 512 AS bin_offset
 FROM cum
+"""
+
+
+def q_zorder_key(spark, sf: str) -> DataFrame:
+    """Z-order layout key over lineitem-derived box origins — the sort
+    key for 2-D-prunable parquet layouts; integer bit-interleave, exact
+    in both engines."""
+    from layout_parser_spark.functions.geometry import zorder_key
+
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").cast("long").alias("lno"),
+        zorder_key(
+            F.col("l_quantity") * 19.5, F.col("l_discount") * 9000.0
+        ).alias("zkey"),
+    )
+
+
+def _sql_zorder(bits: int = 16) -> str:
+    terms = " + ".join(
+        f"(((qx >> {i}) & 1) << {2 * i}) + (((qy >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    top = (1 << bits) - 1
+    return f"""
+WITH q AS (
+  SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lno,
+         LEAST(GREATEST(CAST(FLOOR(l_quantity * 19.5 / 1000.0 * {top})
+               AS BIGINT), 0), {top}) AS qx,
+         LEAST(GREATEST(CAST(FLOOR(l_discount * 9000.0 / 1000.0 * {top})
+               AS BIGINT), 0), {top}) AS qy
+  FROM lineitem
+)
+SELECT okey, lno, {terms} AS zkey FROM q
 """
 
 
@@ -2083,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_model": q_docs_quality_model,
         "pack_sequences": q_pack_sequences,
         "snapshot_diff": q_snapshot_diff,
+        "zorder_key": q_zorder_key,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
@@ -2139,6 +2175,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_model": _sql_quality_model(1024),
         "pack_sequences": SQL_PACK_SEQUENCES,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "zorder_key": _sql_zorder(16),
         "dedup_embedding_cosine": SQL_EMB_DEDUP,
         "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
         "corpus_filter_pipeline": _sql_corpus_pipeline(),

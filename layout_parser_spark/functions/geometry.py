@@ -230,3 +230,37 @@ def rect_points(b: Column) -> Column:
     x1, y1, x2, y2 = coords4(b)
     corner_pts = F.array(x1, y1, x2, y1, x2, y2, x1, y2)
     return F.when(is_quadrilateral(b), b["points"]).otherwise(corner_pts)
+
+
+def zorder_key(x: "Column", y: "Column", bits: int = 16,
+               x_max: float = 1000.0, y_max: float = 1000.0) -> "Column":
+    """Z-order (Morton) locality key for two coordinates — the sort key
+    that makes a multi-dimensional parquet layout prune on BOTH axes:
+    writing geometry tables sorted by ``zorder_key(x_1, y_1)`` clusters
+    spatially-near blocks into the same row groups, so min/max column
+    stats prune 2-D range scans (the standard lakehouse z-order layout,
+    here as a pure Column expression).
+
+    Coordinates are quantized to ``bits`` levels over [0, x_max/y_max]
+    (clamped), then bit-interleaved x→even positions, y→odd.  Integer
+    arithmetic only — exact in any engine."""
+    from pyspark.sql import functions as F
+
+    qx = F.least(
+        F.greatest((x / x_max * ((1 << bits) - 1)).cast("long"), F.lit(0)),
+        F.lit((1 << bits) - 1),
+    )
+    qy = F.least(
+        F.greatest((y / y_max * ((1 << bits) - 1)).cast("long"), F.lit(0)),
+        F.lit((1 << bits) - 1),
+    )
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftright(qx, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(qy, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return key

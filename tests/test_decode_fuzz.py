@@ -29,7 +29,10 @@ from layout_parser_spark.sources.avi_mini import (
 from layout_parser_spark.sources.gif_mini import decode_gif, encode_gif
 from layout_parser_spark.sources.jpeg_mini import decode_jpeg, encode_jpeg
 
+from layout_parser_spark.sources.charset import decode_payload
+
 DECODERS = [
+    decode_payload,
     decode_jpeg,
     decode_avi_frames,
     probe_avi,

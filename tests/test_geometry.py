@@ -152,3 +152,36 @@ def test_textblock_meta_preserved(ev):
     assert_block(row.s, "rectangle", meta=meta, x_1=2, y_1=3, x_2=4, y_2=5)
     assert row.q.text == "12" and row.q.id == 1
     assert_block(row.i, "interval", meta=meta, start=1, end=3, axis="x")
+
+
+def test_zorder_key_matches_morton_reference(spark):
+    """Bit-interleave correctness vs a python Morton reference, incl.
+    clamping above the coordinate range."""
+    from pyspark.sql import functions as F
+
+    from layout_parser_spark.functions.geometry import zorder_key
+
+    def morton(x, y, bits=16):
+        k = 0
+        for i in range(bits):
+            k |= ((x >> i) & 1) << (2 * i)
+            k |= ((y >> i) & 1) << (2 * i + 1)
+        return k
+
+    rows = [
+        (float(x), float(y))
+        for x in (0, 1, 499.5, 999.99, 1000, 1500)
+        for y in (0, 3, 999.9, 2000)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = df.select(
+        "x", "y", zorder_key(F.col("x"), F.col("y")).alias("k")
+    ).collect()
+    for r in out:
+        qx = min(max(int(r.x / 1000.0 * 65535), 0), 65535)
+        qy = min(max(int(r.y / 1000.0 * 65535), 0), 65535)
+        assert r.k == morton(qx, qy), (r.x, r.y)
+    # locality: neighbors share high bits more often than far points
+    k_near = morton(100, 100) ^ morton(101, 101)
+    k_far = morton(100, 100) ^ morton(60000, 60000)
+    assert k_near.bit_length() < k_far.bit_length()
