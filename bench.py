@@ -609,6 +609,59 @@ pagerank_hosts = 3 fixed-point iterations over the host graph.
     print(json.dumps({n: b for n, _r, b, _t in rows}))
 
 
+def plans_main():
+    """--plans: regenerate BENCH/PLANS_AUTO.md — a physical-plan audit
+    row for EVERY driver query at sf0.001 (exchange / join / window
+    operator counts straight from the executed plan).  Fresh, mechanical
+    evidence that the whole contract keeps its scale shapes."""
+    import re as _re
+
+    import __spark_entry__ as entry
+
+    spark = get_session(8)
+    sf = "/root/testdata/sf0.001"
+    rows = []
+    for name, fn in sorted(entry.queries().items()):
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        count = lambda pat: len(_re.findall(pat, plan))  # noqa: E731
+        rows.append(
+            (
+                name,
+                count(r"Exchange"),
+                count(r"SortMergeJoin"),
+                count(r"BroadcastHashJoin"),
+                count(r"BroadcastNestedLoopJoin"),
+                count(r"CartesianProduct"),
+                count(r"Window\b"),
+                count(r"(ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|PythonMapInArrow)"),
+            )
+        )
+    hdr = ("| query | exchanges | SMJ | BHJ | BNLJ | cartesian | window |"
+           " python stages |")
+    sep = "|---" * 8 + "|"
+    body = "\n".join(
+        "| " + " | ".join(str(c) for c in r) + " |" for r in rows
+    )
+    md = f"""# BENCH — automated physical-plan audit (every driver query)
+
+Generated by ``python bench.py --plans`` at sf0.001 (plan shapes are
+scale-invariant; AQE may fuse differently at volume but the JOIN
+STRATEGY and exchange count shown here are what the optimizer commits
+to).  CartesianProduct must be 0 everywhere; BNLJ only against O(1)
+broadcast sides (see tests/test_plan_lint.py's allow-list).  Python
+stages are the designed Arrow slots (segmentation, perspective, XY-cut,
+media decode) — everything else is JVM codegen.
+
+{hdr}
+{sep}
+{body}
+"""
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/PLANS_AUTO.md", "w") as f:
+        f.write(md)
+    print(json.dumps({"queries": len(rows)}))
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
@@ -622,5 +675,7 @@ if __name__ == "__main__":
         decode_main()
     elif "--graph" in sys.argv:
         graph_main()
+    elif "--plans" in sys.argv:
+        plans_main()
     else:
         main()
