@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (50/50): the hash-based family
+Every query has an oracle entry (51/51): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
@@ -1980,6 +1980,84 @@ QUALIFY rank <= 5
 """
 
 
+_PQ_DIM = 32
+
+
+def _clustered_vec(c, d):
+    """Deterministic clustered embedding: integer base per cluster ``c``
+    plus a small doc-dependent perturbation ``d`` — exact in both
+    engines (pure modular arithmetic + one fixed decimal scale)."""
+    return F.array(
+        *[
+            ((c * 31 + i * 17) % 13 - 6).cast("double")
+            + ((d * 7 + i * 3) % 5 - 2).cast("double") * 0.01
+            for i in range(_PQ_DIM)
+        ]
+    )
+
+
+def q_ann_pq(spark, sf: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) with exact cosine
+    refinement, over deterministic CLUSTERED vectors (10 integer-lattice
+    clusters + centi-scale per-doc noise, derived from doc_id arithmetic
+    so DuckDB rebuilds the identical input).  Cluster separation ≫
+    quantization error → the ADC top-``refine`` provably contains the
+    true neighbors, so the refined top-k equals the brute-force oracle."""
+    from layout_parser_spark.operators.similarity import pq_topk
+
+    d = F.col("doc_id")
+    vectors = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        _clustered_vec(d % 10, d).alias("embedding"),
+    )
+    queries = spark.range(3).select(
+        F.col("id").alias("query_id"),
+        _clustered_vec(F.col("id"), F.lit(0) * F.col("id")).alias(
+            "query_vec"
+        ),
+    )
+    out = pq_topk(
+        vectors, queries, k=5, m=4, k_codes=16, iters=3, refine=40,
+        dim=_PQ_DIM,
+    )
+    return out.select(
+        "query_id", "vec_id", "cosine_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_ANN_PQ = f"""
+WITH v AS (
+  SELECT doc_id AS vec_id,
+         list_transform(range(0, {_PQ_DIM}), i ->
+           CAST(((doc_id % 10) * 31 + i * 17) % 13 - 6 AS DOUBLE)
+           + CAST((doc_id * 7 + i * 3) % 5 - 2 AS DOUBLE) * 0.01
+         ) AS embedding
+  FROM documents
+), q AS (
+  SELECT c AS query_id,
+         list_transform(range(0, {_PQ_DIM}), i ->
+           CAST((c * 31 + i * 17) % 13 - 6 AS DOUBLE)
+           + CAST((i * 3) % 5 - 2 AS DOUBLE) * 0.01
+         ) AS query_vec
+  FROM (SELECT unnest([0, 1, 2]) AS c)
+), scored AS (
+  SELECT q.query_id, v.vec_id,
+         ROUND(list_dot_product(v.embedding, q.query_vec)
+               / (sqrt(list_dot_product(v.embedding, v.embedding))
+                  * sqrt(list_dot_product(q.query_vec, q.query_vec))), 6)
+           AS cosine_sim
+  FROM v CROSS JOIN q
+)
+SELECT query_id, vec_id, cosine_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id ASC)
+            AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def q_ann_lsh(spark, sf: str) -> DataFrame:
     v, q = _queries_df(spark, sf)
     out = lsh_topk(v, q, dim=64, k=5, n_planes=4)
@@ -2126,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "ann_pq": q_ann_pq,
     }
 
 
@@ -2182,6 +2261,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": SQL_ANN,
         "ann_ivf": SQL_ANN_IVF,
         "ann_ivf_kmeans": SQL_ANN,
+        "ann_pq": SQL_ANN_PQ,
         "minhash_lsh": _sql_minhash_lsh(),
         "simhash_buckets": _sql_simhash_buckets(),
         "ann_lsh": _sql_ann_lsh(),

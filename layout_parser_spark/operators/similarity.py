@@ -288,3 +288,219 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the vector-compression ANN path
+# ---------------------------------------------------------------------------
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two double arrays (one fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _argmin_code(vec: Column, cb: Column) -> Column:
+    """1-based index of the nearest (squared-L2) centroid in the
+    broadcast codebook array ``cb`` (array<array<double>>) — a fold over
+    indices, strict < keeps the FIRST on ties (deterministic)."""
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(1).alias("i")
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.size(cb)),
+        init,
+        lambda acc, i: F.when(
+            l2sq(vec, F.element_at(cb, i)) < acc["d"],
+            F.struct(
+                l2sq(vec, F.element_at(cb, i)).alias("d"), i.alias("i")
+            ),
+        ).otherwise(acc),
+    )["i"]
+
+
+def pq_codebook(
+    vectors: DataFrame,
+    j: int,
+    sub_dim: int,
+    k_codes: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """ONE-ROW DataFrame carrying subspace ``j``'s codebook as a sorted
+    array<array<double>> column ``cb{j}`` — deterministic L2 Lloyd's
+    (init = the k smallest-id sub-vectors; empty clusters keep their
+    previous centroid).  The one-row form broadcasts into every
+    downstream stage, so neither training nor encoding ever shuffles on
+    the vector id."""
+    subv = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim).alias("_sv"),
+    )
+    cb_row = (
+        subv.orderBy(F.col("_id").asc())
+        .limit(k_codes)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_id"), F.col("_sv")))
+            ).alias("_init")
+        )
+        .select(
+            F.transform(F.col("_init"), lambda s: s["_sv"]).alias("cb")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = subv.crossJoin(F.broadcast(cb_row)).select(
+            "_sv", _argmin_code(F.col("_sv"), F.col("cb")).alias("code")
+        )
+        means = assigned.groupBy("code").agg(
+            F.array(
+                *[
+                    F.avg(F.element_at(F.col("_sv"), c + 1))
+                    for c in range(sub_dim)
+                ]
+            ).alias("mv")
+        )
+        # one-row merge: new[i] = mean of cluster i if non-empty else old
+        mean_map = means.agg(
+            F.map_from_arrays(
+                F.collect_list("code"), F.collect_list("mv")
+            ).alias("mm")
+        )
+        cb_row = (
+            cb_row.crossJoin(F.broadcast(mean_map))
+            .select(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.col("cb"))),
+                    lambda i: F.coalesce(
+                        F.element_at(F.col("mm"), i),
+                        F.element_at(F.col("cb"), i),
+                    ),
+                ).alias("cb")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cb_row.select(F.col("cb").alias(f"cb{j}"))
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 3,
+    refine: int = 100,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Product-quantization ANN with exact refinement (Jégou et al.
+    2011): split ``dim`` into ``m`` subspaces, train a ``k_codes``-entry
+    codebook per subspace, encode every vector as m small codes, score
+    query↔vector by the ADC table sum (squared L2 is ADDITIVE over
+    subspaces, so per-pair cost drops from O(dim) to O(m) lookups — the
+    compression win that makes 10^11-vector scans affordable), keep the
+    top ``refine`` ADC candidates per query, then re-rank those
+    EXACTLY by cosine to the final top-k.
+
+    Output matches ``cosine_topk``: (query_id, vec_id, cosine_sim,
+    rank) — with ``refine`` ≫ k the result equals the exact baseline
+    (recall-1 configuration), which is the driver-oracle contract.
+
+    Scale shape: codebooks are one-row broadcasts (training shuffles
+    only k_codes×m tiny aggregates); encoding is map-side; ADC scoring
+    is the broadcast-queries pattern of ``cosine_topk`` with O(m) work
+    per pair; only the ``refine`` winners per query reach the exact
+    re-rank (an equi-join on the vector id).
+
+    Vectors are L2-NORMALIZED before training/encoding (map-side): on
+    the unit sphere ‖a−b‖² = 2 − 2·cos(a,b), so the squared-L2 ADC
+    ordering matches the cosine ordering the re-rank uses — without
+    this, norm variance corrupts recall."""
+    sub_dim = dim // m
+
+    def _unit(vc: Column) -> Column:
+        n = F.sqrt(dot(vc, vc))
+        return F.transform(
+            vc, lambda x: F.when(n > 0, x / n).otherwise(x)
+        )
+
+    nvec = vectors.select(
+        id_col, vec_col, _unit(F.col(vec_col)).alias("_nv")
+    )
+    nv = nvec.select(id_col, F.col("_nv").alias(vec_col))
+    nq = queries.select(
+        qid_col, _unit(F.col(qvec_col)).alias(qvec_col)
+    )
+    books = [
+        pq_codebook(nv, j, sub_dim, k_codes, iters, id_col, vec_col)
+        for j in range(m)
+    ]
+    # encode map-side: m one-row broadcasts attach, m argmin folds
+    coded = nv.select(id_col, vec_col)
+    for j, b in enumerate(books):
+        coded = coded.crossJoin(F.broadcast(b)).withColumn(
+            f"code{j}",
+            _argmin_code(
+                F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim),
+                F.col(f"cb{j}"),
+            ),
+        ).drop(f"cb{j}")
+    coded = coded.drop(vec_col).localCheckpoint(eager=True)
+
+    # per-query ADC tables: distance from the query's sub-vector to every
+    # centroid of that subspace.  NB the lambda must take ONE argument —
+    # a second (even defaulted) python parameter receives the ELEMENT
+    # INDEX in Spark HOFs, silently corrupting the slice — so the
+    # subspace offset is closed over via a factory.
+    def _qtable(j: int) -> Column:
+        qslice = F.slice(F.col(qvec_col), j * sub_dim + 1, sub_dim)
+        return F.transform(F.col(f"cb{j}"), lambda c: l2sq(qslice, c))
+
+    qt = nq
+    for j, b in enumerate(books):
+        qt = qt.crossJoin(F.broadcast(b)).withColumn(
+            f"t{j}", _qtable(j)
+        ).drop(f"cb{j}")
+
+    adc = coded.crossJoin(F.broadcast(qt.drop(qvec_col)))
+    score = sum(
+        (F.element_at(F.col(f"t{j}"), F.col(f"code{j}")) for j in range(m)),
+        F.lit(0.0),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("_adc").asc(), F.col(id_col).asc()
+    )
+    cands = (
+        adc.withColumn("_adc", score)
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= refine)
+        .select(qid_col, id_col)
+    )
+    # exact re-rank of the candidate set only
+    pairs = (
+        cands.join(vectors.select(id_col, vec_col), on=id_col)
+        .join(F.broadcast(queries), on=qid_col)
+    )
+    sim = cosine(F.col(vec_col), F.col(qvec_col))
+    scored = pairs.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(id_col).alias("vec_id"),
+        F.round(sim, 6).alias("cosine_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )

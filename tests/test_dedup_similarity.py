@@ -406,3 +406,46 @@ def test_hash_split_stability_and_packing(spark):
     for r in packed:
         assert r.bin_id == run // 10 and r.bin_offset == run % 10
         run += r.n_tokens
+
+
+def test_pq_topk_recall_on_clustered_data(spark):
+    """PQ + exact refinement equals brute force on clusterable vectors
+    (recall-1 configuration); on pure-noise embeddings the lossy codes
+    genuinely cannot guarantee that — which is why the driver query runs
+    over the deterministic clustered fixture."""
+    from pyspark.sql import functions as F
+
+    from layout_parser_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+    )
+
+    DIM = 32
+
+    def vec(c, d):
+        return F.array(
+            *[
+                ((c * 31 + i * 17) % 13 - 6).cast("double")
+                + ((d * 7 + i * 3) % 5 - 2).cast("double") * 0.01
+                for i in range(DIM)
+            ]
+        )
+
+    base = spark.range(200).select(F.col("id").alias("vec_id"))
+    d = F.col("vec_id")
+    vectors = base.select("vec_id", vec(d % 10, d).alias("embedding"))
+    queries = spark.range(3).select(
+        F.col("id").alias("query_id"),
+        vec(F.col("id"), F.col("id") * 0).alias("query_vec"),
+    )
+    pq = sorted(
+        (r.query_id, r.rank, r.vec_id, r.cosine_sim)
+        for r in pq_topk(
+            vectors, queries, k=5, m=4, k_codes=16, refine=40, dim=DIM
+        ).collect()
+    )
+    ex = sorted(
+        (r.query_id, r.rank, r.vec_id, round(r.cosine_sim, 6))
+        for r in cosine_topk(vectors, queries, k=5).collect()
+    )
+    assert pq == ex

@@ -18,6 +18,8 @@ BNLJ_ALLOWED = {
     "ann_cosine_topk",      # broadcast query-vector set (exact baseline)
     "ann_ivf",              # one-row centroid-array attach
     "ann_ivf_kmeans",       # same, per k-means round
+    "ann_pq",               # one-row codebook attaches + broadcast
+                            # query-table set (the ADC scan pattern)
 }
 
 
