@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (51/51): the hash-based family
+Every query has an oracle entry (52/52): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
@@ -542,6 +542,60 @@ SELECT doc AS user_id,
        ROUND(x_2, 6) AS x_2, ROUND(y_2, 6) AS y_2,
        CAST(n_tokens AS BIGINT) AS n_tokens
 FROM comps
+"""
+
+
+def q_table_grid(spark, sf: str) -> DataFrame:
+    """Table structure recovery: events-derived cell boxes on a jittered
+    grid (cluster spread 5 ≪ tol 10 ≪ pitch 30/60) → (row_id, col_id)
+    per cell via the 1-D gap clustering windows."""
+    from layout_parser_spark.operators.grouping import detect_table_grid
+
+    ev = _t(spark, sf, "events").where(F.col("event_id") % 3 == 0)
+    boxes = ev.select(
+        (F.col("user_id") % 20).alias("doc"),
+        F.col("event_id").alias("block_id"),
+        ((F.col("event_id") % 7) * 60.0 + F.col("value") % 5.0).alias("x_1"),
+        ((F.col("event_id") % 5) * 30.0 + F.col("value") % 4.0).alias("y_1"),
+        ((F.col("event_id") % 7) * 60.0 + F.col("value") % 5.0 + 40.0)
+        .alias("x_2"),
+        ((F.col("event_id") % 5) * 30.0 + F.col("value") % 4.0 + 12.0)
+        .alias("y_2"),
+    )
+    return detect_table_grid(
+        boxes, ["doc"], id_col="block_id", x_tolerance=10, y_tolerance=10
+    )
+
+
+SQL_TABLE_GRID = """
+WITH boxes AS (
+  SELECT user_id % 20 AS doc, event_id AS cell_id,
+         (event_id % 7) * 60.0 + value % 5.0 + 20.0 AS xc,
+         (event_id % 5) * 30.0 + value % 4.0 + 6.0 AS yc
+  FROM events WHERE event_id % 3 = 0
+), marks AS (
+  SELECT doc, cell_id, xc, yc,
+         CASE WHEN lag(yc) OVER wy IS NULL
+                OR yc - lag(yc) OVER wy > 10.0 THEN 1 ELSE 0 END AS nr,
+         CASE WHEN lag(xc) OVER wx IS NULL
+                OR xc - lag(xc) OVER wx > 10.0 THEN 1 ELSE 0 END AS nc
+  FROM boxes
+  WINDOW wy AS (PARTITION BY doc ORDER BY yc, cell_id),
+         wx AS (PARTITION BY doc ORDER BY xc, cell_id)
+), ids AS (
+  SELECT doc, cell_id,
+         SUM(nr) OVER (PARTITION BY doc ORDER BY yc, cell_id
+                       ROWS UNBOUNDED PRECEDING) - 1 AS row_id,
+         SUM(nc) OVER (PARTITION BY doc ORDER BY xc, cell_id
+                       ROWS UNBOUNDED PRECEDING) - 1 AS col_id
+  FROM marks
+)
+SELECT doc, cell_id,
+       CAST(row_id AS BIGINT) AS row_id,
+       CAST(col_id AS BIGINT) AS col_id,
+       CAST(MAX(row_id) OVER (PARTITION BY doc) + 1 AS BIGINT) AS n_rows,
+       CAST(MAX(col_id) OVER (PARTITION BY doc) + 1 AS BIGINT) AS n_cols
+FROM ids
 """
 
 
@@ -2164,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_homogenize": q_layout_homogenize,
         "group_by_category": q_group_by_category,
         "detect_lines": q_detect_lines,
+        "table_grid": q_table_grid,
         "ocr_gather_data": q_ocr_gather_data,
         "gcv_fulltext": q_gcv_fulltext,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -2220,6 +2275,7 @@ def oracle_sql() -> dict[str, str]:
         "layout_homogenize": SQL_HOMOGENIZE,
         "group_by_category": SQL_GROUP_CAT,
         "detect_lines": SQL_DETECT_LINES,
+        "table_grid": SQL_TABLE_GRID,
         "ocr_gather_data": SQL_OCR_GATHER,
         "gcv_fulltext": SQL_GCV,
         "agg_pricing_summary": SQL_Q1,

@@ -365,3 +365,72 @@ def detect_lines_distributed(
             F.col("n_tokens").cast("int").alias("n_tokens"),
         )
     )
+
+
+def gap_cluster_1d(center: "F.Column", key_cols: List[str], tol: float,
+                   order_cols: List[str]):
+    """1-D transitive proximity clustering as ONE window pass: sort by
+    the center coordinate within each document and open a new cluster
+    whenever the gap to the previous center exceeds ``tol``.  For 1-D
+    centers this is EXACTLY the connected components of
+    |c_i − c_j| ≤ tol (transitive chains split precisely at gaps), so
+    no iterative propagation is needed — the window is the scalable
+    shape (partitioned per document).  Returns the 0-based cluster id
+    ordered by coordinate."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(center, *order_cols)
+    prev = F.lag(center).over(w)
+    is_new = F.when(
+        prev.isNull() | (center - prev > F.lit(float(tol))), 1
+    ).otherwise(0)
+    return (
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        - 1
+    )
+
+
+def detect_table_grid(
+    df: DataFrame,
+    key_cols: List[str],
+    id_col: str = "block_id",
+    x_tolerance: float = 10,
+    y_tolerance: float = 10,
+    x1="x_1", y1="y_1", x2="x_2", y2="y_2",
+) -> DataFrame:
+    """Table structure recovery from cell boxes: assign every cell a
+    (row_id, col_id) grid position by clustering y-centers into rows and
+    x-centers into columns (both via ``gap_cluster_1d``) — the
+    two-axis composition of the §2.5 grouping family that turns a bag of
+    detected cell rectangles into a rectangular grid (the precursor to
+    CSV/HTML table serialization).
+
+    Output: key_cols + (cell id, row_id, col_id, n_rows, n_cols).
+    Two window passes per document, no joins, no iteration."""
+    yc = (F.col(y1) + F.col(y2)) / 2.0
+    xc = (F.col(x1) + F.col(x2)) / 2.0
+    base = df.select(
+        *key_cols,
+        F.col(id_col).alias("cell_id"),
+        xc.alias("_xc"),
+        yc.alias("_yc"),
+    )
+    out = base.withColumn(
+        "row_id",
+        gap_cluster_1d(F.col("_yc"), key_cols, y_tolerance, ["cell_id"]),
+    ).withColumn(
+        "col_id",
+        gap_cluster_1d(F.col("_xc"), key_cols, x_tolerance, ["cell_id"]),
+    )
+    from pyspark.sql.window import Window
+
+    wdoc = Window.partitionBy(*key_cols)
+    return out.select(
+        *key_cols, "cell_id",
+        F.col("row_id").cast("long").alias("row_id"),
+        F.col("col_id").cast("long").alias("col_id"),
+        (F.max("row_id").over(wdoc) + 1).cast("long").alias("n_rows"),
+        (F.max("col_id").over(wdoc) + 1).cast("long").alias("n_cols"),
+    )

@@ -129,3 +129,36 @@ def test_slice_and_index_match_python_semantics(spark):
     assert row.mid == texts[1:4]          # python blocks[1:1+3]
     assert row.first == "b0" and row.last == "b4"
     assert row.doubled == 10
+
+
+def test_detect_table_grid(spark):
+    """3×2 jittered grid of cells → correct (row_id, col_id) positions;
+    a second document with one cell stays (0,0) with n_rows=n_cols=1."""
+    from layout_parser_spark.operators.grouping import detect_table_grid
+
+    cells = []
+    cid = 0
+    for r in range(3):
+        for c in range(2):
+            jx, jy = (cid % 3) * 1.5, (cid % 2) * 2.0  # jitter < tol
+            cells.append(
+                ("d1", cid, c * 100.0 + jx, r * 40.0 + jy,
+                 c * 100.0 + jx + 30, r * 40.0 + jy + 10)
+            )
+            cid += 1
+    cells.append(("d2", 99, 5.0, 5.0, 20.0, 12.0))
+    df = spark.createDataFrame(
+        cells,
+        "doc string, block_id long, x_1 double, y_1 double, "
+        "x_2 double, y_2 double",
+    )
+    out = {
+        (r.doc, r.cell_id): (r.row_id, r.col_id, r.n_rows, r.n_cols)
+        for r in detect_table_grid(df, ["doc"]).collect()
+    }
+    cid = 0
+    for r in range(3):
+        for c in range(2):
+            assert out[("d1", cid)] == (r, c, 3, 2), (cid, out[("d1", cid)])
+            cid += 1
+    assert out[("d2", 99)] == (0, 0, 1, 1)
