@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (52/52): the hash-based family
+Every query has an oracle entry (54/54): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
@@ -1120,6 +1120,106 @@ SELECT url,
        END AS status,
        old_digest, new_digest
 FROM o FULL OUTER JOIN n USING (url)
+"""
+
+
+def q_scrub_pii(spark, sf: str) -> DataFrame:
+    """PII scrub over docs with deterministic synthetic PII appended
+    (every 3rd doc an email, every 4th an IP, every 5th a phone) —
+    placeholders substituted, per-doc counts from the same pass."""
+    from layout_parser_spark.operators.text_analysis import scrub_pii
+
+    d = F.col("doc_id")
+    decorated = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"), (d % 7).cast("string"),
+                    F.lit("@example.org"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit(" from 10.0."), (d % 200).cast("string"),
+                    F.lit("."), (d % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit(" call +1 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return scrub_pii(decorated)
+
+
+SQL_SCRUB_PII = r"""
+WITH deco AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || CAST(doc_id % 7 AS VARCHAR)
+                   || '@example.org' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+              THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+                   || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+              THEN ' call +1 555-123-4567' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id AS id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+',
+             '<EMAIL>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+           '<IP>', 'g'),
+         '\+?[0-9]{1,3}[ \-][0-9]{3}[ \-][0-9]{3,4}[ \-]?[0-9]{0,4}',
+         '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+'))
+         AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text,
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+         AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text,
+         '\+?[0-9]{1,3}[ \-][0-9]{3}[ \-][0-9]{3,4}[ \-]?[0-9]{0,4}'))
+         AS BIGINT) AS n_phones
+FROM deco
+"""
+
+
+def q_stratified_sample(spark, sf: str) -> DataFrame:
+    """Deterministic data-mixing sampler: per-source keep rates (50% of
+    src0..9 via per-source rates 0.0-0.9 pattern) — reproducible under
+    corpus growth; oracle recomputes the same lane threshold."""
+    from layout_parser_spark.operators.text_analysis import (
+        stratified_sample,
+    )
+
+    rates = {f"src{i}": i / 10.0 for i in range(10)}
+    out = stratified_sample(
+        _t(spark, sf, "documents"), rates, strata_col="source"
+    )
+    return out.select("doc_id", "source")
+
+
+SQL_STRATIFIED = """
+WITH lanes AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)),
+          1, 15))::BIGINT % 1000000 AS bucket,
+         CASE WHEN source LIKE 'src_' AND length(source) = 4
+              THEN CAST(substr(source, 4) AS BIGINT) * 100000
+              ELSE 0 END AS thr
+  FROM documents
+)
+SELECT doc_id, source FROM lanes
+WHERE length(source) = 4 AND bucket < thr
 """
 
 
@@ -2247,6 +2347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "url_dedup": q_url_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "scrub_pii": q_scrub_pii,
+        "stratified_sample": q_stratified_sample,
         "registered_domains": q_registered_domains,
         "docs_quality_model": q_docs_quality_model,
         "pack_sequences": q_pack_sequences,
@@ -2306,6 +2408,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts": _sql_pagerank(3),
         "url_dedup": SQL_URL_DEDUP,
         "dedup_clusters": _sql_dedup_clusters(),
+        "scrub_pii": SQL_SCRUB_PII,
+        "stratified_sample": SQL_STRATIFIED,
         "registered_domains": SQL_REGISTERED_DOMAINS,
         "docs_quality_model": _sql_quality_model(1024),
         "pack_sequences": SQL_PACK_SEQUENCES,

@@ -361,3 +361,81 @@ def pack_sequences(
         .alias("bin_id"),
         (before % target_tokens).alias("bin_offset"),
     )
+
+
+#: PII patterns — written in the common subset of Java regex (Spark) and
+#: RE2 (DuckDB): character classes + bounded repeats only, no
+#: backreferences/lookarounds, so both engines match identically.
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+"
+PII_IPV4 = (
+    r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+)
+PII_PHONE = r"\+?[0-9]{1,3}[ \-][0-9]{3}[ \-][0-9]{3,4}[ \-]?[0-9]{0,4}"
+
+
+def scrub_pii(df, text_col: str = "text", id_col: str = "doc_id"):
+    """PII redaction (the CCNet/Dolma-style pre-release scrub): emails,
+    IPv4 addresses, and international-format phone numbers are replaced
+    with typed placeholders; per-document counts come from the SAME
+    match pass so the audit trail is free.
+
+    Returns (id, clean_text, n_emails, n_ips, n_phones).  Pure
+    regexp_replace / regexp_count codegen — map-only, no shuffle; the
+    patterns are deliberately restricted to the Java-regex ∩ RE2 subset
+    so the DuckDB oracle matches exactly."""
+    t = F.col(text_col)
+    counts = {
+        "n_emails": PII_EMAIL,
+        "n_ips": PII_IPV4,
+        "n_phones": PII_PHONE,
+    }
+    cleaned = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    cleaned = F.regexp_replace(cleaned, PII_IPV4, "<IP>")
+    cleaned = F.regexp_replace(cleaned, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        cleaned.alias("clean_text"),
+        *[
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(name)
+            for name, pat in counts.items()
+        ],
+    )
+
+
+def stratified_sample(
+    df,
+    rates: "dict[str, float]",
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix-v1",
+    default_rate: float = 0.0,
+):
+    """Deterministic data-mixing sampler: keep a document iff the md5
+    lane of (seed, id) falls under its stratum's rate — the mixing-
+    weights stage of a training-data pipeline, reproducible across runs
+    and cluster sizes (no RNG state, no sampleBy nondeterminism), and
+    CONSISTENT under corpus growth (a kept doc stays kept).
+
+    ``rates``: stratum value → keep fraction in [0,1].  Rates are
+    applied at 1e-6 granularity.  Returns the kept subset."""
+    from .dedup import md5_lane60
+
+    bucket = F.pmod(
+        md5_lane60(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    rate = None
+    for val, r in sorted(rates.items()):
+        thr = int(r * 1_000_000)
+        cond = F.col(strata_col) == val
+        rate = (
+            F.when(cond, thr) if rate is None else rate.when(cond, thr)
+        )
+    rate = (
+        rate.otherwise(int(default_rate * 1_000_000))
+        if rate is not None
+        else F.lit(int(default_rate * 1_000_000))
+    )
+    return df.where(bucket < rate)

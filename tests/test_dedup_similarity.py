@@ -449,3 +449,59 @@ def test_pq_topk_recall_on_clustered_data(spark):
         for r in cosine_topk(vectors, queries, k=5).collect()
     )
     assert pq == ex
+
+
+def test_scrub_pii_and_stratified_sample(spark):
+    from pyspark.sql import functions as F
+
+    from layout_parser_spark.operators.text_analysis import (
+        scrub_pii,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@x-corp.io now and 192.168.0.1 or +44 207-946-0958"),
+            (1, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in scrub_pii(df).collect()}
+    assert "<EMAIL>" in out[0].clean_text
+    assert "<IP>" in out[0].clean_text
+    assert "<PHONE>" in out[0].clean_text
+    assert "a.b+c@x-corp.io" not in out[0].clean_text
+    assert (out[0].n_emails, out[0].n_ips, out[0].n_phones) == (1, 1, 1)
+    assert out[1].clean_text == "clean text with no identifiers at all"
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (0, 0, 0)
+
+    # sampler: rate-0 stratum drops everything, rate-1 keeps everything,
+    # kept set is stable under corpus growth
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "keepall").otherwise("dropall")
+        .alias("source"),
+    )
+    kept = stratified_sample(
+        docs, {"keepall": 1.0, "dropall": 0.0}, strata_col="source"
+    ).collect()
+    assert {r.source for r in kept} == {"keepall"}
+    assert len(kept) == 150
+    half = stratified_sample(
+        docs, {"keepall": 0.5, "dropall": 0.0}, strata_col="source"
+    )
+    kept_ids = {r.doc_id for r in half.collect()}
+    assert 45 <= len(kept_ids) <= 105  # ~50% of 150, hash-binomial
+    grown = docs.union(
+        spark.range(300, 600).select(
+            F.col("id").alias("doc_id"), F.lit("keepall").alias("source")
+        )
+    )
+    kept_ids2 = {
+        r.doc_id
+        for r in stratified_sample(
+            grown, {"keepall": 0.5, "dropall": 0.0}, strata_col="source"
+        ).collect()
+        if r.doc_id < 300
+    }
+    assert kept_ids2 == kept_ids  # growth never flips a decision
