@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (54/54): the hash-based family
+Every query has an oracle entry (55/55): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
@@ -1120,6 +1120,45 @@ SELECT url,
        END AS status,
        old_digest, new_digest
 FROM o FULL OUTER JOIN n USING (url)
+"""
+
+
+def q_nfc_normalize(spark, sf: str) -> DataFrame:
+    """Unicode NFC pass over docs decorated with decomposed sequences
+    (combining acute, half-width forms survive NFC; decomposed é
+    composes) — UCD parity Spark-unicodedata ↔ DuckDB nfc_normalize."""
+    from layout_parser_spark.operators.text_analysis import (
+        nfc_normalize_text,
+    )
+
+    d = F.col("doc_id")
+    deco = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 2 == 0, F.lit(" cafe\u0301")).otherwise(F.lit("")),
+            F.when(d % 3 == 0, F.lit(" A\u030angstro\u0308m")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return nfc_normalize_text(deco)
+
+
+SQL_NFC = """
+WITH deco AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+              THEN ' cafe' || chr(769) ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+              THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+              ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id AS id, nfc_normalize(text) AS norm_text,
+       nfc_normalize(text) != text AS changed
+FROM deco
 """
 
 
@@ -2347,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "url_dedup": q_url_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "nfc_normalize": q_nfc_normalize,
         "scrub_pii": q_scrub_pii,
         "stratified_sample": q_stratified_sample,
         "registered_domains": q_registered_domains,
@@ -2408,6 +2448,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts": _sql_pagerank(3),
         "url_dedup": SQL_URL_DEDUP,
         "dedup_clusters": _sql_dedup_clusters(),
+        "nfc_normalize": SQL_NFC,
         "scrub_pii": SQL_SCRUB_PII,
         "stratified_sample": SQL_STRATIFIED,
         "registered_domains": SQL_REGISTERED_DOMAINS,

@@ -439,3 +439,38 @@ def stratified_sample(
         else F.lit(int(default_rate * 1_000_000))
     )
     return df.where(bucket < rate)
+
+
+def nfc_normalize_text(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Unicode NFC normalization (the canonical-composition pass a text
+    pipeline runs before hashing/dedup — 'café' as e+combining-acute and
+    precomposed 'café' must collide, not survive as distinct docs).
+
+    Spark has no built-in normalizer, so this is an Arrow-batched pandas
+    UDF over ``unicodedata.normalize`` — a genuine table-lookup
+    transform with no columnar equivalent; UCD parity with DuckDB's
+    ``nfc_normalize`` is what makes the driver oracle exact.
+
+    Returns (id, norm_text, changed)."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: this module has `from __future__ import annotations`, which
+    # stringifies type hints and breaks pandas_udf's hint inference —
+    # so the eval type is pinned via ``useArrow=False``-free legacy
+    # scalar form (no hints, returnType only)
+    def _nfc_fn(s):
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x)
+            if x is not None
+            else None
+        )
+
+    _nfc = pandas_udf(_nfc_fn, "string")
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        _nfc(F.col(text_col)).alias("norm_text"),
+        (_nfc(F.col(text_col)) != F.col(text_col)).alias("changed"),
+    )
