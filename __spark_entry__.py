@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (55/55): the hash-based family
+Every query has an oracle entry (57/57): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
@@ -542,6 +542,68 @@ SELECT doc AS user_id,
        ROUND(x_2, 6) AS x_2, ROUND(y_2, 6) AS y_2,
        CAST(n_tokens AS BIGINT) AS n_tokens
 FROM comps
+"""
+
+
+def q_asof_join(spark, sf: str) -> DataFrame:
+    """As-of join: every event matched to the latest prior snapshot of
+    its user (snapshots = every 10th event) — the union+window
+    composition vs DuckDB's NATIVE ASOF JOIN as the oracle."""
+    from layout_parser_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events")
+    left = ev.where(F.col("event_id") % 10 != 0).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.where(F.col("event_id") % 10 == 0).select(
+        "user_id", "ts",
+        F.col("value").alias("snap_value"),
+        F.col("event_id").alias("snap_id"),
+    )
+    out = asof_join(left, right, on=["user_id"], ts_col="ts")
+    return out.select(
+        "event_id", "user_id", "value", "snap_value", "snap_id"
+    )
+
+
+SQL_ASOF = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_id % 10 != 0
+), r AS (
+  SELECT user_id, ts, value AS snap_value, event_id AS snap_id
+  FROM events WHERE event_id % 10 = 0
+)
+SELECT l.event_id, l.user_id, l.value, r.snap_value, r.snap_id
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_range_join(spark, sf: str) -> DataFrame:
+    """Bucketed range join: events matched to overlapping value windows
+    ([i*5, i*5+7), i < 20) via the bucket-explode equi-join; oracle is
+    the plain inequality join."""
+    from layout_parser_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf, "events").select("event_id", "value")
+    iv = spark.range(20).select(
+        F.col("id").alias("window_id"),
+        (F.col("id") * 5.0).alias("lo"),
+        (F.col("id") * 5.0 + 7.0).alias("hi"),
+    )
+    out = range_join(ev, iv, value_col="value", bucket_width=5.0)
+    return out.select("event_id", "window_id", "value", "lo", "hi")
+
+
+SQL_RANGE_JOIN = """
+WITH iv AS (
+  SELECT i AS window_id, i * 5.0 AS lo, i * 5.0 + 7.0 AS hi
+  FROM (SELECT unnest(range(0, 20)) AS i)
+)
+SELECT e.event_id, iv.window_id, e.value, iv.lo, iv.hi
+FROM events e JOIN iv
+  ON e.value >= iv.lo AND e.value < iv.hi
 """
 
 
@@ -2358,6 +2420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_category": q_group_by_category,
         "detect_lines": q_detect_lines,
         "table_grid": q_table_grid,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "ocr_gather_data": q_ocr_gather_data,
         "gcv_fulltext": q_gcv_fulltext,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -2418,6 +2482,8 @@ def oracle_sql() -> dict[str, str]:
         "group_by_category": SQL_GROUP_CAT,
         "detect_lines": SQL_DETECT_LINES,
         "table_grid": SQL_TABLE_GRID,
+        "asof_join": SQL_ASOF,
+        "range_join": SQL_RANGE_JOIN,
         "ocr_gather_data": SQL_OCR_GATHER,
         "gcv_fulltext": SQL_GCV,
         "agg_pricing_summary": SQL_Q1,

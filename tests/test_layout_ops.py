@@ -162,3 +162,55 @@ def test_detect_table_grid(spark):
             assert out[("d1", cid)] == (r, c, 3, 2), (cid, out[("d1", cid)])
             cid += 1
     assert out[("d2", 99)] == (0, 0, 1, 1)
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right at-or-before each left ts; equal
+    timestamps MATCH (right sorts first); no prior snapshot → NULLs."""
+    from layout_parser_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 5, "l5"), ("u", 10, "l10"), ("u", 2, "l2"),
+         ("v", 7, "lv")],
+        "k string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u", 3, "r3"), ("u", 10, "r10"), ("w", 1, "rw")],
+        "k string, ts long, state string",
+    )
+    out = {
+        (r.k, r.ts): r.state
+        for r in asof_join(left, right, on=["k"], ts_col="ts").collect()
+    }
+    assert out == {
+        ("u", 2): None,     # before any snapshot
+        ("u", 5): "r3",     # latest <= 5
+        ("u", 10): "r10",   # equal ts matches
+        ("v", 7): None,     # key with no snapshots at all
+    }
+
+
+def test_range_join_boundaries(spark):
+    """lo inclusive, hi exclusive; overlapping intervals both match;
+    bucket decomposition loses nothing at bucket borders."""
+    from layout_parser_spark.operators.temporal import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 5.0), (3, 6.9), (4, 7.0), (5, 9.99), (6, 100.0)],
+        "pid long, value double",
+    )
+    iv = spark.createDataFrame(
+        [(0, 0.0, 7.0), (1, 5.0, 12.0)], "wid long, lo double, hi double"
+    )
+    out = {
+        (r.pid, r.wid)
+        for r in range_join(pts, iv, value_col="value",
+                            bucket_width=5.0).collect()
+    }
+    assert out == {
+        (1, 0),          # lo inclusive
+        (2, 0), (2, 1),  # overlap region
+        (3, 0), (3, 1),
+        (4, 1),          # hi exclusive for w0
+        (5, 1),
+    }
