@@ -7,7 +7,7 @@ twin for every SQL-expressible query.  Column names and value rounding are
 aligned on both sides (the driver hash-compares values after sorting
 columns by name).
 
-Every query has an oracle entry (57/57): the hash-based family
+Every query has an oracle entry (59/59): the hash-based family
 (MinHash/SimHash/LSH) derives all hashing from md5 lanes + Carter-Wegman
 permutations and literal hashlib hyperplanes, so DuckDB reproduces the
 exact values (see operators/dedup.py + operators/similarity.py).
@@ -542,6 +542,75 @@ SELECT doc AS user_id,
        ROUND(x_2, 6) AS x_2, ROUND(y_2, 6) AS y_2,
        CAST(n_tokens AS BIGINT) AS n_tokens
 FROM comps
+"""
+
+
+def q_hypertable_rollup(spark, sf: str) -> DataFrame:
+    """Continuous-aggregate rollup: per-user hour buckets from raw
+    events, DAY buckets re-aggregated FROM the hour partials; the oracle
+    computes both levels directly from raw — equality proves the
+    re-aggregation is lossless."""
+    from layout_parser_spark.operators.temporal import hypertable_rollup
+
+    out = hypertable_rollup(_t(spark, sf, "events"))
+    return out.select(
+        "user_id", "level", "bucket_ts",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+SQL_HYPERTABLE = """
+SELECT user_id, 'hour' AS level,
+       date_trunc('hour', ts) AS bucket_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+UNION ALL
+SELECT user_id, 'day' AS level,
+       date_trunc('day', ts) AS bucket_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM events GROUP BY user_id, date_trunc('day', ts)
+"""
+
+
+def q_kmv_sketch(spark, sf: str) -> DataFrame:
+    """Deterministic KMV distinct-count sketch per event_type (k=64):
+    md5-lane k-minimum-values — identical sketch in both engines, so
+    unlike HLL the estimate itself value-verifies."""
+    from layout_parser_spark.operators.dedup import kmv_distinct_sketch
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    )
+    return kmv_distinct_sketch(ev, "u", k=64, group_cols=["event_type"])
+
+
+SQL_KMV = """
+WITH lanes AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS lane
+  FROM events
+), sk AS (
+  SELECT event_type,
+         list_slice(list_sort(list(lane)), 1, 64) AS s
+  FROM lanes GROUP BY event_type
+)
+SELECT event_type,
+       CAST(len(s) AS BIGINT) AS n_sketch,
+       s[len(s)] AS kth_lane,
+       CASE WHEN len(s) < 64 THEN CAST(len(s) AS BIGINT)
+            ELSE (1152921504606846976 // s[len(s)]) * 63
+       END AS est_distinct
+FROM sk
 """
 
 
@@ -2421,6 +2490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_lines": q_detect_lines,
         "table_grid": q_table_grid,
         "asof_join": q_asof_join,
+        "hypertable_rollup": q_hypertable_rollup,
+        "kmv_sketch": q_kmv_sketch,
         "range_join": q_range_join,
         "ocr_gather_data": q_ocr_gather_data,
         "gcv_fulltext": q_gcv_fulltext,
@@ -2483,6 +2554,8 @@ def oracle_sql() -> dict[str, str]:
         "detect_lines": SQL_DETECT_LINES,
         "table_grid": SQL_TABLE_GRID,
         "asof_join": SQL_ASOF,
+        "hypertable_rollup": SQL_HYPERTABLE,
+        "kmv_sketch": SQL_KMV,
         "range_join": SQL_RANGE_JOIN,
         "ocr_gather_data": SQL_OCR_GATHER,
         "gcv_fulltext": SQL_GCV,

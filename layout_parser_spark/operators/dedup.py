@@ -780,3 +780,45 @@ def dedup_clusters(
             "is_keeper"
         ),
     )
+
+
+def kmv_distinct_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    group_cols: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch over md5 lanes — the
+    DETERMINISTIC cardinality sketch (unlike HLL implementations, two
+    engines hashing with the same md5 lane produce the IDENTICAL sketch,
+    so the driver oracle value-matches; and the sketch is MERGEABLE —
+    the union's k smallest lanes are the k smallest of the concatenated
+    sketches, which is exactly how partial aggregation combines it
+    across 1000 executors).
+
+    Estimate: (k−1) · (2^60 // lane_k) for the k-th smallest 60-bit lane
+    — integer-only (2^60 fits int64; dividing BEFORE multiplying keeps
+    every intermediate in range), so both engines compute the identical
+    number; exact count reported instead when fewer than k distinct
+    values exist.
+
+    Returns group_cols + (n_sketch, kth_lane, est_distinct)."""
+    groups = list(group_cols or [])
+    lanes = df.select(
+        *groups, md5_lane60(F.col(col)).alias("_lane")
+    ).dropDuplicates(groups + ["_lane"])
+    agg = lanes.groupBy(*groups).agg(
+        F.slice(F.array_sort(F.collect_list("_lane")), 1, k).alias("_sk")
+    )
+    n = F.size("_sk")
+    kth = F.element_at(F.col("_sk"), n)
+    big = F.lit(1 << 60).cast("long")
+    est = F.when(n < k, n.cast("long")).otherwise(
+        ((big - big % kth) / kth).cast("long") * (k - 1)
+    )
+    return agg.select(
+        *groups,
+        n.cast("long").alias("n_sketch"),
+        kth.alias("kth_lane"),
+        est.alias("est_distinct"),
+    )

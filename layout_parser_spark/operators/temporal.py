@@ -116,3 +116,48 @@ def range_join(
         )
         .drop("_b")
     )
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: List[str] = ("user_id",),
+    value_col: str = "value",
+    fine: str = "hour",
+    coarse: str = "day",
+) -> DataFrame:
+    """Timescale-style continuous-aggregate rollup: the FINE level
+    aggregates raw events into time buckets; the COARSE level aggregates
+    FROM THE FINE PARTIALS, not from raw — the shape that lets a 100 TB
+    hypertable maintain day/month rollups by touching only hour partials
+    (all aggregates here are re-aggregable: count/sum/min/max).
+
+    Output: key_cols + (level, bucket_ts, n_events, sum_value,
+    min_value, max_value) stacked for both levels."""
+    keys = list(key_cols)
+    fine_agg = (
+        events.groupBy(
+            *keys, F.date_trunc(fine, F.col(ts_col)).alias("bucket_ts")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+    coarse_agg = (
+        fine_agg.groupBy(
+            *keys,
+            F.date_trunc(coarse, F.col("bucket_ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    return fine_agg.withColumn("level", F.lit(fine)).unionByName(
+        coarse_agg.withColumn("level", F.lit(coarse))
+    )

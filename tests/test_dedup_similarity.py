@@ -505,3 +505,31 @@ def test_scrub_pii_and_stratified_sample(spark):
         if r.doc_id < 300
     }
     assert kept_ids2 == kept_ids  # growth never flips a decision
+
+
+def test_kmv_sketch_properties(spark):
+    """Exact below k; estimate within ~2/sqrt(k) above k; MERGEABLE:
+    sketch(A ∪ B) == merge of sketch(A), sketch(B) by k-smallest."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from layout_parser_spark.operators.dedup import kmv_distinct_sketch
+
+    small = spark.range(40).select(F.col("id").cast("string").alias("v"))
+    r = kmv_distinct_sketch(small, "v", k=64).collect()[0]
+    assert (r.n_sketch, r.est_distinct) == (40, 40)  # exact under k
+
+    big = spark.range(20000).select(F.col("id").cast("string").alias("v"))
+    r = kmv_distinct_sketch(big, "v", k=64).collect()[0]
+    assert r.n_sketch == 64
+    assert abs(r.est_distinct - 20000) / 20000 < 0.35  # 2/sqrt(64)=0.25ish
+
+    # mergeability: python twin over md5 lanes
+    def lane(x):
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    a = sorted(lane(str(i)) for i in range(0, 10000))[:64]
+    b = sorted(lane(str(i)) for i in range(5000, 20000))[:64]
+    merged_kth = sorted(set(a) | set(b))[63]
+    assert merged_kth == sorted(lane(str(i)) for i in range(20000))[63]
