@@ -807,14 +807,27 @@ def kmv_distinct_sketch(
     lanes = df.select(
         *groups, md5_lane60(F.col(col)).alias("_lane")
     ).dropDuplicates(groups + ["_lane"])
-    agg = lanes.groupBy(*groups).agg(
-        F.slice(F.array_sort(F.collect_list("_lane")), 1, k).alias("_sk")
+    # Two-level k-minima so per-group aggregate state is bounded:
+    # level 1 keeps only k minima per (group, input partition) — state
+    # capped by partition size, never by group cardinality — and level 2
+    # merges ≤num_partitions arrays of ≤k lanes (O(P·k) per group).  A
+    # single collect_list per group would hold ALL distinct lanes of a
+    # group on one reducer, which a high-cardinality group would blow.
+    part = lanes.groupBy(*groups, F.spark_partition_id().alias("_pid")).agg(
+        F.slice(F.array_sort(F.collect_list("_lane")), 1, k).alias("_psk")
+    )
+    agg = part.groupBy(*groups).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_psk"))), 1, k
+        ).alias("_sk")
     )
     n = F.size("_sk")
     kth = F.element_at(F.col("_sk"), n)
     big = F.lit(1 << 60).cast("long")
+    # exact BIGINT division (IntegralDivide) — the double-division trick
+    # rounds for numerators ≥ 2^53, and 2^60 is always ≥ 2^53
     est = F.when(n < k, n.cast("long")).otherwise(
-        ((big - big % kth) / kth).cast("long") * (k - 1)
+        F.call_function("div", big, kth) * (k - 1)
     )
     return agg.select(
         *groups,

@@ -158,6 +158,64 @@ def _line_close(a, b, x_tolerance, y_tolerance):
     )
 
 
+def gcca_apply(
+    df: DataFrame,
+    key_cols: List[str],
+    scoring_func: Callable,
+    id_col: str = "block_id",
+    default_score_value: int = 0,
+    x1="x_1", y1="y_1", x2="x_2", y2="y_2",
+) -> DataFrame:
+    """Distributed ``generalized_connected_component_analysis_1d``
+    (reference shape_operations.py:25-77) with an ARBITRARY Python
+    scoring function — the generic slot that ``detect_lines`` /
+    ``detect_lines_distributed`` specialize.  Per-document
+    ``applyInPandas`` running ``gcca_1d``'s union-find over
+    (x_1, y_1, x_2, y_2) tuples; embarrassingly parallel across
+    documents, so the Python island costs one Arrow round-trip per
+    group batch and nothing else.
+
+    Sequence order (hence the reference's first-appearance component
+    order) is ascending ``id_col``.  Aggregation = union-reduce
+    (min/max corners) + member count.
+
+    Output: key_cols + (comp_id, x_1, y_1, x_2, y_2, n_blocks)."""
+    ktypes = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema if f.name in key_cols
+    )
+    schema = (
+        f"{ktypes}, comp_id int, x_1 double, y_1 double, "
+        "x_2 double, y_2 double, n_blocks int"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        boxes = list(
+            zip(pdf[x1], pdf[y1], pdf[x2], pdf[y2])
+        )
+        keys = [pdf.iloc[0][c] for c in key_cols]
+        comps = connected_components_1d(
+            len(boxes),
+            lambda i, j: scoring_func(boxes[i], boxes[j])
+            != default_score_value,
+        )
+        out = []
+        for ci, comp in enumerate(comps):
+            u = _union_boxes([boxes[i] for i in comp])
+            out.append((*keys, ci, *u, len(comp)))
+        return pd.DataFrame(
+            out,
+            columns=[
+                *key_cols, "comp_id", "x_1", "y_1", "x_2", "y_2", "n_blocks",
+            ],
+        )
+
+    return df.groupBy(*key_cols).applyInPandas(
+        lambda k, pdf: kernel(pdf), schema=schema
+    )
+
+
 def group_blocks_by_category(
     df: DataFrame, key_cols: List[str], type_col: str, pos_col: str,
     x1="x_1", y1="y_1", x2="x_2", y2="y_2",

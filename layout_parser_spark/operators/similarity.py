@@ -53,7 +53,16 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k of each query against ``vectors``.
     The query side is broadcast (small); ties broken by ascending vector
-    id for determinism.  Output: (query_id, vec_id, cosine_sim, rank)."""
+    id for determinism.  Output: (query_id, vec_id, cosine_sim, rank).
+
+    Skew shape: a plain ``Window.partitionBy(query_id)`` rank would
+    serialize ALL N candidate rows of a query through one reducer — with
+    few queries that is a single-reducer job.  Instead each input
+    partition reduces its candidates to a k-minima array (struct sort
+    key = (−sim, vec_id), state bounded by partition size), the merge
+    combines ≤P arrays of ≤k rows per query, and the final rank is a
+    posexplode over k rows — no stage ever moves more than P·k rows per
+    query."""
     j = vectors.crossJoin(F.broadcast(queries))
     sim = cosine(F.col(vec_col), F.col(qvec_col))
     scored = j.select(
@@ -61,12 +70,26 @@ def cosine_topk(
         F.col(id_col).alias("vec_id"),
         F.round(sim, 6).alias("cosine_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    key = F.struct(
+        (-F.col("cosine_sim")).alias("_negsim"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("cosine_sim").alias("cosine_sim"),
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+    part = scored.groupBy(
+        "query_id", F.spark_partition_id().alias("_pid")
+    ).agg(F.slice(F.array_sort(F.collect_list(key)), 1, k).alias("_top"))
+    merged = part.groupBy("query_id").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_top"))), 1, k
+        ).alias("_top")
+    )
+    return merged.select(
+        "query_id", F.posexplode("_top").alias("_r", "_t")
+    ).select(
+        "query_id",
+        F.col("_t.vec_id").alias("vec_id"),
+        F.col("_t.cosine_sim").alias("cosine_sim"),
+        (F.col("_r") + 1).cast("int").alias("rank"),
     )
 
 

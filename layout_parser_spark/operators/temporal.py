@@ -46,6 +46,14 @@ def asof_join(
     payload = [
         c for c in right.columns if c not in set(on) | {ts_col}
     ]
+    clash = sorted(set(left.columns) & set(payload))
+    if clash:
+        # silently nulling the left columns (the union alignment below
+        # overwrites same-named ones) would return corrupted left data
+        raise ValueError(
+            f"asof_join: left columns {clash} collide with right payload "
+            "columns — rename or drop them on one side first"
+        )
     lt = left.withColumn("_side", F.lit(1))
     rt = right.select(
         *on, ts_col, *payload

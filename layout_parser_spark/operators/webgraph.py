@@ -45,11 +45,13 @@ HOST_PATTERN = r"https?://([^/]+)"
 
 
 def _idiv(a: Column, b: Column) -> Column:
-    """Exact BIGINT floor-division for non-negative operands —
-    ``(a - a % b) / b`` stays in integer-exact double range (< 2^53)
-    after the subtraction makes the division exact.  Mirrors DuckDB
-    ``//``."""
-    return ((a - a % b) / b).cast("long")
+    """Exact BIGINT integer division for non-negative operands via
+    Spark's ``div`` (IntegralDivide — stays in long arithmetic, never
+    converts through double, so it is exact for the full 64-bit range;
+    the previous ``(a - a % b) / b`` form rounded for operands ≥ 2^53).
+    Truncating vs DuckDB ``//``'s flooring — identical for the
+    non-negative operands this module uses."""
+    return F.call_function("div", a, b)
 
 
 def extract_links(

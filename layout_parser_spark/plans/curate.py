@@ -45,9 +45,12 @@ def curate_corpus(
     (…input columns…, canonical_url, url_keep, exact_keep, cluster_id,
     cluster_keep, n_tokens, quality_score, quality_keep, keep)
 
-    ``keep`` is the conjunction — the curated corpus is
-    ``curate_corpus(df).where("keep")``; the funnel report is one
-    aggregate over the same flags (``curation_stats``)."""
+    Flags are cumulative: each stage flag means "survived through that
+    stage", so ``keep`` equals ``quality_keep`` (kept as an explicit
+    conjunction for auditability) and ``curation_stats`` is a monotone
+    funnel.  Rows cut by an earlier stage carry NULL ``cluster_id`` /
+    ``quality_score`` — later stages never compute on losers.  The
+    curated corpus is ``curate_corpus(df).where("keep")``."""
     from ..operators.dedup import dedup_clusters
     from ..operators.text_analysis import hashed_linear_score, tokens
     from ..operators.webgraph import canonicalize_url
@@ -81,12 +84,25 @@ def curate_corpus(
         F.col("cluster_id"),
         F.col("is_keeper").alias("cluster_keep"),
     )
+    # Flags are CUMULATIVE (each flag = survived up to and including its
+    # stage), so curation_stats reads as a proper funnel, and — since the
+    # cluster/quality joins key on the raw url — a url_keep=false re-fetch
+    # sharing a url with a surviving keeper can never inherit downstream
+    # survivor flags.  Cumulative gating also guarantees the joins are
+    # 1:1: url-stage dedup leaves at most one survivor per url, so the
+    # survivor-derived cluster/score tables have unique url keys.
     d = d.join(clusters, on=url_col, how="left").withColumn(
-        "cluster_keep", F.coalesce(F.col("cluster_keep"), F.lit(False))
+        "cluster_keep",
+        F.col("exact_keep")
+        & F.coalesce(F.col("cluster_keep"), F.lit(False)),
     )
 
+    # score only cluster survivors: join-safe (unique urls) and the right
+    # scale shape — the classifier runs on survivors, not the whole crawl
     scores = hashed_linear_score(
-        d.select(F.col(url_col).alias("doc_id"), F.col(text_col).alias("text")),
+        d.where(F.col("cluster_keep")).select(
+            F.col(url_col).alias("doc_id"), F.col(text_col).alias("text")
+        ),
         dim=quality_dim,
         threshold=quality_threshold,
     ).select(
@@ -99,7 +115,8 @@ def curate_corpus(
         .withColumn("n_tokens", F.size(tokens(F.col(text_col))))
         .withColumn(
             "quality_keep",
-            F.coalesce(F.col("_q_keep"), F.lit(False))
+            F.col("cluster_keep")
+            & F.coalesce(F.col("_q_keep"), F.lit(False))
             & (F.col("n_tokens") >= min_tokens),
         )
         .drop("_q_keep")
