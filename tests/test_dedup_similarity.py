@@ -149,6 +149,60 @@ def test_line_detection_counts_multirow():
     assert lines[1] == (0.0, 30.0, 95.0, 40.0)
 
 
+def test_gcca_apply_matches_local_kernel(spark):
+    """The distributed generic-scoring slot (gcca_apply) equals the
+    reference-form local gcca_1d run per document, for an asymmetric
+    custom scoring function."""
+    import random
+
+    from layout_parser_spark.operators.grouping import (
+        _union_boxes,
+        gcca_apply,
+        gcca_1d,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for doc in range(6):
+        for i in range(rng.randint(1, 25)):
+            x1 = rng.uniform(0, 200)
+            y1 = rng.uniform(0, 200)
+            rows.append(
+                (doc, i, x1, y1, x1 + rng.uniform(5, 60), y1 + 10.0)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "doc long, block_id long, x_1 double, y_1 double, "
+        "x_2 double, y_2 double",
+    )
+
+    def score(a, b):  # ≥40% x-overlap of the narrower box
+        ov = min(a[2], b[2]) - max(a[0], b[0])
+        return 1 if ov >= 0.4 * min(a[2] - a[0], b[2] - b[0]) else 0
+
+    got = {}
+    out = gcca_apply(
+        df.repartition(5), ["doc"], score, id_col="block_id"
+    ).collect()
+    for r in out:
+        got.setdefault(r.doc, {})[r.comp_id] = (
+            round(r.x_1, 9), round(r.y_1, 9),
+            round(r.x_2, 9), round(r.y_2, 9), r.n_blocks,
+        )
+    for doc in range(6):
+        boxes = [
+            (r[2], r[3], r[4], r[5])
+            for r in sorted(rows, key=lambda t: t[1]) if r[0] == doc
+        ]
+        want = {
+            ci: (*[round(v, 9) for v in _union_boxes(comp)], len(comp))
+            for ci, comp in enumerate(
+                gcca_1d(boxes, score, lambda xs: xs)
+            )
+        }
+        assert got[doc] == want, f"doc {doc}"
+
+
 def test_embedding_near_dup_lsh_path_recall(spark):
     """Unblocked embedding_near_dup_pairs must use LSH candidates (an
     equi-join, never a cross join) and recover most true near-dup pairs;
@@ -505,6 +559,73 @@ def test_scrub_pii_and_stratified_sample(spark):
         if r.doc_id < 300
     }
     assert kept_ids2 == kept_ids  # growth never flips a decision
+
+
+def test_kmv_sketch_partition_invariant(spark):
+    """The two-level bounded k-minima aggregation (level 1 per input
+    partition, level 2 merge) must give the identical sketch for ANY
+    partitioning of the input — the mergeability the operator advertises
+    for 1000-executor combines."""
+    from pyspark.sql import functions as F
+
+    from layout_parser_spark.operators.dedup import kmv_distinct_sketch
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7).alias("g"), F.col("id").cast("string").alias("v")
+    )
+    outs = []
+    for nparts in (1, 13):
+        rows = kmv_distinct_sketch(
+            df.repartition(nparts), "v", k=32, group_cols=["g"]
+        ).collect()
+        outs.append(
+            sorted((r.g, r.n_sketch, r.kth_lane, r.est_distinct)
+                   for r in rows)
+        )
+    assert outs[0] == outs[1]
+
+
+def test_cosine_topk_partition_invariant(spark):
+    """The de-skewed partial-top-k path (per-partition k-minima → merge
+    → posexplode rank) must be invariant to vector partitioning and must
+    equal the straightforward global ranking."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from layout_parser_spark.operators.similarity import cosine_topk
+
+    rng = np.random.RandomState(11)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(300)]
+    qs = [(100 + j, [float(x) for x in rng.randn(8)]) for j in range(2)]
+    v = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        qs, "query_id long, query_vec array<double>"
+    )
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.rank, r.vec_id, r.cosine_sim)
+            for r in df.collect()
+        )
+
+    base = rows(cosine_topk(v.repartition(1), q, k=7))
+    assert rows(cosine_topk(v.repartition(17), q, k=7)) == base
+    # oracle: plain numpy global ranking with the same round-then-rank
+    # and (sim desc, vec_id asc) tie-break
+    want = []
+    for qid, qv in qs:
+        qv = np.array(qv)
+        sims = [
+            (round(float(
+                np.dot(e, qv) / (np.linalg.norm(e) * np.linalg.norm(qv))
+            ), 6), vid)
+            for vid, e in ((vid, np.array(e)) for vid, e in vecs)
+        ]
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        want += [
+            (qid, r + 1, vid, s) for r, (s, vid) in enumerate(sims[:7])
+        ]
+    assert base == sorted(want)
 
 
 def test_kmv_sketch_properties(spark):

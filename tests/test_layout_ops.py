@@ -190,6 +190,24 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_rejects_payload_collision(spark):
+    """A left column sharing a name with a right payload column must
+    raise — the union alignment would otherwise silently null out the
+    left data."""
+    import pytest
+
+    from layout_parser_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 5, "keepme")], "k string, ts long, state string"
+    )
+    right = spark.createDataFrame(
+        [("u", 3, "r3")], "k string, ts long, state string"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on=["k"], ts_col="ts")
+
+
 def test_range_join_boundaries(spark):
     """lo inclusive, hi exclusive; overlapping intervals both match;
     bucket decomposition loses nothing at bucket borders."""

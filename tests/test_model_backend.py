@@ -156,6 +156,76 @@ def test_registered_backend_score_threshold_applied(spark, pages):
         assert all(b.score >= 0.25 for b in r.blocks)
 
 
+def _second_golden():
+    """Second golden fixture, derived deterministically from the
+    reference one: the same geometry/classes plus four extra detections,
+    re-scored onto a strictly descending ramp 0.95→0.05 that straddles
+    BOTH backend cutoffs (effdet 0.25, paddle 0.5) — so each threshold
+    has genuine sub-threshold rows to drop, unlike the primary fixture
+    (whose scores all clear 0.25)."""
+    _, boxes, classes, _ = _golden_raw()
+    boxes = boxes + [
+        (10.0 * i, 5.0, 10.0 * i + 8.0, 12.0) for i in range(4)
+    ]
+    classes = classes + [i % 5 for i in range(4)]  # touch all 5 labels
+    n = len(boxes)
+    scores = [round(0.95 - 0.9 * i / (n - 1), 6) for i in range(n)]
+    return boxes, classes, scores
+
+
+def _reference_early_stop(boxes, classes, scores, thr, label_map):
+    """Direct port of the effdet consume loop
+    (models/effdet/layoutmodel.py:225-240): walk detections in emitted
+    (descending-score) order, BREAK at the first score below the
+    threshold."""
+    kept = []
+    for (x1, y1, x2, y2), c, s in zip(boxes, classes, scores):
+        if s < thr:
+            break
+        kept.append((x1, y1, x2, y2, label_map[c], s))
+    return kept
+
+
+@pytest.mark.parametrize(
+    "backend,uri,thr",
+    [
+        ("effdet", "lp://effdet/publaynet/tf_efficientdet_d0/config", 0.25),
+        (
+            "paddledetection",
+            "lp://paddledetection/publaynet/ppyolov2_r50vd/config",
+            0.5,
+        ),
+    ],
+)
+def test_threshold_early_stop_set_equivalence(spark, pages, backend, uri, thr):
+    """apply_score_threshold's set-equivalence claim (models.py:99-107)
+    pinned against the reference early-stop loop on a fixture that
+    actually HAS sub-threshold rows: the engine's columnar filter and
+    the reference's descending-order break keep the identical set, and
+    the label map survives through both."""
+    boxes, classes, scores = _second_golden()
+    assert min(scores) < thr < max(scores)  # the cutoff really bites
+    label_map = LABEL_MAPS["publaynet"]
+    register_backend(
+        backend, _make_fake_backend(boxes, classes, scores, label_map)
+    )
+    try:
+        out = auto_layout_model(uri)(pages).collect()
+    finally:
+        del _BACKENDS[backend]
+
+    want = set(
+        _reference_early_stop(boxes, classes, scores, thr, label_map)
+    )
+    assert 0 < len(want) < len(boxes)
+    for r in out:
+        got = set(
+            (b.x_1, b.y_1, b.x_2, b.y_2, b.type, b.score)
+            for b in r.blocks
+        )
+        assert got == want
+
+
 def test_unknown_backend_raises_with_instructions():
     with pytest.raises(NotImplementedError, match="register_backend"):
         auto_layout_model("lp://paddledetection/publaynet/ppyolov2/config")(
