@@ -1871,16 +1871,14 @@ WITH lines AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS line,
          generate_subscripts(string_split(text, ' '), 1) AS pos
   FROM documents
-), lanes AS (
-  SELECT doc_id, pos, line,
-         ('0x' || substr(md5(line), 1, 15))::BIGINT AS ll
-  FROM lines
 ), hot AS (
-  SELECT ll FROM lanes GROUP BY ll
+  -- ground-truth hot set over RAW segments: equality with the engine's
+  -- xxhash64-lane path certifies the lane is collision-free here
+  SELECT line FROM lines GROUP BY line
   HAVING COUNT(DISTINCT doc_id) > 250
 ), kept AS (
   SELECT l.doc_id, l.line, l.pos
-  FROM lanes l LEFT JOIN hot h USING (ll) WHERE h.ll IS NULL
+  FROM lines l LEFT JOIN hot h USING (line) WHERE h.line IS NULL
 ), agg AS (
   SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
          COUNT(*) AS n_kept

@@ -169,11 +169,17 @@ def gcca_apply(
     """Distributed ``generalized_connected_component_analysis_1d``
     (reference shape_operations.py:25-77) with an ARBITRARY Python
     scoring function — the generic slot that ``detect_lines`` /
-    ``detect_lines_distributed`` specialize.  Per-document
-    ``applyInPandas`` running ``gcca_1d``'s union-find over
-    (x_1, y_1, x_2, y_2) tuples; embarrassingly parallel across
-    documents, so the Python island costs one Arrow round-trip per
-    group batch and nothing else.
+    ``detect_lines_distributed`` specialize.  ``gcca_1d``'s union-find
+    runs over (x_1, y_1, x_2, y_2) tuples per document; embarrassingly
+    parallel across documents.
+
+    Shape: repartition by key, then ONE ``mapInPandas`` kernel per
+    partition with a pandas groupby inside — not per-group
+    ``applyInPandas``, whose per-group Arrow framing dominates when
+    documents are small (measured ~2× on 1 500 ≈10-row groups).  Memory
+    note: the kernel concatenates its whole partition into one frame,
+    so partitions must fit executor memory — which key-hash
+    repartitioning of bounded-size documents guarantees.
 
     Sequence order (hence the reference's first-appearance component
     order) is ascending ``id_col``.  Aggregation = union-reduce
@@ -188,32 +194,36 @@ def gcca_apply(
         f"{ktypes}, comp_id int, x_1 double, y_1 double, "
         "x_2 double, y_2 double, n_blocks int"
     )
+    out_cols = [
+        *key_cols, "comp_id", "x_1", "y_1", "x_2", "y_2", "n_blocks",
+    ]
+    keys = list(key_cols)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)
-        boxes = list(
-            zip(pdf[x1], pdf[y1], pdf[x2], pdf[y2])
-        )
-        keys = [pdf.iloc[0][c] for c in key_cols]
-        comps = connected_components_1d(
-            len(boxes),
-            lambda i, j: scoring_func(boxes[i], boxes[j])
-            != default_score_value,
-        )
+    def gen(batches):
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
         out = []
-        for ci, comp in enumerate(comps):
-            u = _union_boxes([boxes[i] for i in comp])
-            out.append((*keys, ci, *u, len(comp)))
-        return pd.DataFrame(
-            out,
-            columns=[
-                *key_cols, "comp_id", "x_1", "y_1", "x_2", "y_2", "n_blocks",
-            ],
-        )
+        for kv, g in pdf.groupby(keys, sort=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            g = g.sort_values(id_col)
+            boxes = list(zip(g[x1], g[y1], g[x2], g[y2]))
+            comps = connected_components_1d(
+                len(boxes),
+                lambda i, j: scoring_func(boxes[i], boxes[j])
+                != default_score_value,
+            )
+            for ci, comp in enumerate(comps):
+                u = _union_boxes([boxes[i] for i in comp])
+                out.append((*kv, ci, *u, len(comp)))
+        yield pd.DataFrame(out, columns=out_cols)
 
-    return df.groupBy(*key_cols).applyInPandas(
-        lambda k, pdf: kernel(pdf), schema=schema
-    )
+    parted = df.select(
+        *keys, id_col, x1, y1, x2, y2
+    ).repartition(*[F.col(c) for c in keys])
+    return parted.mapInPandas(gen, schema=schema)
 
 
 def group_blocks_by_category(
