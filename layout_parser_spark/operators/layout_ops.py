@@ -136,7 +136,10 @@ def slice_blocks(blocks: Column, start: int, length: int) -> Column:
 
 
 def block_at(blocks: Column, i: int) -> Column:
-    return F.element_at(blocks, i + 1)
+    """list indexing incl. Python negative indices (layout.py:68-96);
+    Spark element_at is 1-based from the front and -1-based from the
+    back, so 0-based ``i`` maps to ``i+1`` only when non-negative."""
+    return F.element_at(blocks, i + 1 if i >= 0 else i)
 
 
 def homogenize(blocks: Column) -> Column:

@@ -63,6 +63,9 @@ def test_map_sort_texts_info(spark):
         L.shift_blocks(F.col("blocks"), 1, 2).alias("sh"),
         L.slice_blocks(F.col("blocks"), 1, 2).alias("sl"),
         L.concat_layouts(F.col("blocks"), F.col("blocks")).alias("cc"),
+        L.block_at(F.col("blocks"), 0).alias("b0"),
+        L.block_at(F.col("blocks"), 2).alias("b2"),
+        L.block_at(F.col("blocks"), -1).alias("bneg"),
     ).collect()[0]
     assert [b.text for b in row.s] == ["high", None, "low"]
     assert [b.text for b in row.sr] == ["low", None, "high"]
@@ -71,6 +74,8 @@ def test_map_sort_texts_info(spark):
     assert row.sh[0].x_1 == 1.0 and row.sh[0].y_1 == 12.0
     assert [b.id for b in row.sl] == [2, 3]
     assert len(row.cc) == 6
+    # 0-based indexing incl. Python negative-index semantics
+    assert row.b0.id == 1 and row.b2.id == 3 and row.bneg.id == 3
 
 
 def test_is_in_blocks_matches_reference_layout_case(spark):
