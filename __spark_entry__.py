@@ -1913,15 +1913,15 @@ WITH toks AS (
          tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
   FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ), full_grams AS (
-  SELECT doc_id, pos,
-         ('0x' || substr(md5(g), 1, 15))::BIGINT AS gl
-  FROM grams WHERE g IS NOT NULL
+  -- ground-truth duplicate detection over RAW gram text: equality with
+  -- the engine's xxhash64-lane path certifies the lane collision-free
+  SELECT doc_id, pos, g FROM grams WHERE g IS NOT NULL
 ), dup AS (
-  SELECT gl FROM full_grams GROUP BY gl HAVING COUNT(*) > 1
+  SELECT g FROM full_grams GROUP BY g HAVING COUNT(*) > 1
 ), covered AS (
   SELECT DISTINCT f.doc_id,
          unnest(generate_series(f.pos, f.pos + 2)) AS pos
-  FROM full_grams f JOIN dup USING (gl)
+  FROM full_grams f JOIN dup USING (g)
 ), kept AS (
   SELECT t.doc_id, t.pos, t.tok
   FROM toks t LEFT JOIN covered c

@@ -671,14 +671,17 @@ def duplicated_span_removal(
 
     Scale shape (the suffix-array of the paper re-expressed as joins):
     gram staging is MAP-SIDE — each doc's token array yields its gram
-    md5-lanes via an array transform + posexplode, so no shuffle happens
-    before anything else (the old per-doc window cost one exchange on the
-    doc id); duplicate detection is one combinable count on the 8-byte
-    gram LANE (an n=50 gram is ~300 raw bytes — the raw string never
-    becomes a shuffle key), the occurrence join an equi-join on the lane,
-    and coverage expansion an explode + distinct + anti-join on
-    (doc, position) — every shuffle is an equi-shuffle on fixed-width
-    keys; nothing is quadratic in the corpus."""
+    xxhash64 lanes via an array transform + posexplode, so no shuffle
+    happens before anything else (the old per-doc window cost one
+    exchange on the doc id); duplicate detection is one combinable count
+    on the 8-byte gram LANE (an n=50 gram is ~300 raw bytes — the raw
+    string never becomes a shuffle key; xxhash64 is JVM-native, so the
+    lane costs ~nothing per gram, unlike the r3 md5 lane), the occurrence
+    join an equi-join on the lane, and coverage expansion an explode +
+    distinct + anti-join on (doc, position) — every shuffle is an
+    equi-shuffle on fixed-width keys; nothing is quadratic in the corpus.
+    The driver oracle detects duplicate grams from RAW gram text, so its
+    green row certifies the lane collision-free on the test corpus."""
     toksd = df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks")
     )
@@ -689,7 +692,7 @@ def duplicated_span_removal(
         k >= 1,
         F.transform(
             F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: md5_lane60(
+            lambda i: F.xxhash64(
                 F.concat_ws(
                     " ",
                     *[F.element_at(F.col("_toks"), i + j) for j in range(n)],
