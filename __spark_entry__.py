@@ -101,16 +101,20 @@ def q_geom_rect_algebra(spark, sf: str) -> DataFrame:
         F.col("l_quantity") + F.col("l_extendedprice") / 1000.0,
         F.col("l_discount") * 100.0 + F.col("l_tax") * 100.0 + 1.0,
     )
-    df = li.select("l_orderkey", "l_linenumber", b.alias("b"))
-    bb = F.col("b")
-    return df.select(
+    # Constructor INLINED into the consuming select (not staged through a
+    # b.alias projection): with a literal block_type, Catalyst's
+    # SimplifyExtractValueOps + constant folding reduce every CASE WHEN
+    # dispatch to the rectangle branch — the optimized plan is the bare
+    # arithmetic (a staged alias blocks CollapseProject and materializes
+    # the 24-field struct per row: 3.5x slower, see BENCH/PLANS.md r4).
+    return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(width(bb), 6).alias("w"),
-        F.round(height(bb), 6).alias("h"),
-        F.round(area(bb), 6).alias("a"),
-        F.round(center_x(bb), 6).alias("cx"),
-        F.round(center_y(bb), 6).alias("cy"),
+        F.round(width(b), 6).alias("w"),
+        F.round(height(b), 6).alias("h"),
+        F.round(area(b), 6).alias("a"),
+        F.round(center_x(b), 6).alias("cx"),
+        F.round(center_y(b), 6).alias("cy"),
     )
 
 
@@ -132,9 +136,21 @@ def q_geom_interval_ops(spark, sf: str) -> DataFrame:
     end = start + 1.0 + F.pmod(F.col("o_orderkey"), F.lit(7))
     axis = F.when(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0, "x").otherwise("y")
     iv = S.interval(start, end, axis, canvas_height=100.0, canvas_width=50.0)
-    df = od.select("o_orderkey", iv.alias("b"))
-    padded = pad(F.col("b"), left=5, right=3, top=2, bottom=1)
-    df = df.select("o_orderkey", "b", padded.alias("p"))
+    # HYBRID staging (see BENCH/PLANS.md r4 "constructor folding"): the
+    # constructor is inlined into pad/width/height so the literal
+    # block_type folds the interval branch of every CASE WHEN, but the
+    # padded result is staged through ONE named column before coords4 —
+    # inlining a second composition level clones the constructor tree
+    # combinatorially (2.3 MB analyzed plan, seconds of driver-side
+    # analysis PER ACTION), while zero staging keeps the 24-field struct
+    # materialized per row.  3.7x over full staging, ~10x over full inline.
+    df = od.select(
+        "o_orderkey",
+        pad(iv, left=5, right=3, top=2, bottom=1).alias("p"),
+        F.round(width(iv), 6).alias("w"),
+        F.round(height(iv), 6).alias("h"),
+        F.round(interval_center(iv), 6).alias("c"),
+    )
     x1, y1, x2, y2 = coords4(F.col("p"))
     return df.select(
         "o_orderkey",
@@ -144,9 +160,9 @@ def q_geom_interval_ops(spark, sf: str) -> DataFrame:
         F.round(y1, 6).alias("y_1"),
         F.round(x2, 6).alias("x_2"),
         F.round(y2, 6).alias("y_2"),
-        F.round(width(F.col("b")), 6).alias("w"),
-        F.round(height(F.col("b")), 6).alias("h"),
-        F.round(interval_center(F.col("b")), 6).alias("c"),
+        "w",
+        "h",
+        "c",
     )
 
 
@@ -187,15 +203,15 @@ def q_geom_quad_shoelace(spark, sf: str) -> DataFrame:
     q = S.quadrilateral(
         F.array(cx, cy - h, cx + w, cy, cx, cy + h, cx - w, cy)
     )
-    df = pt.select("p_partkey", q.alias("b"))
-    bb = F.col("b")
-    return df.select(
+    # inlined constructor: element_at over the literal points array folds,
+    # so the shoelace/extent expressions reduce to direct arithmetic
+    return pt.select(
         "p_partkey",
-        F.round(area(bb), 6).alias("a"),
-        F.round(width(bb), 6).alias("w"),
-        F.round(height(bb), 6).alias("h"),
-        F.round(center_x(bb), 6).alias("cx"),
-        F.round(center_y(bb), 6).alias("cy"),
+        F.round(area(q), 6).alias("a"),
+        F.round(width(q), 6).alias("w"),
+        F.round(height(q), 6).alias("h"),
+        F.round(center_x(q), 6).alias("cx"),
+        F.round(center_y(q), 6).alias("cy"),
     )
 
 
@@ -229,21 +245,21 @@ def q_geom_is_in_join(spark, sf: str) -> DataFrame:
         F.col("l_quantity") + F.col("l_extendedprice") / 1000.0,
         F.col("l_discount") * 100.0 + F.col("l_tax") * 100.0 + 1.0,
     )
-    blocks = li.select(b.alias("b"))
     regions = spark.createDataFrame(
         _REGIONS, "region_id int, rx1 double, ry1 double, rx2 double, ry2 double"
-    ).select(
-        "region_id",
-        S.rectangle(F.col("rx1"), F.col("ry1"), F.col("rx2"), F.col("ry2")).alias("r"),
     )
-    j = blocks.crossJoin(F.broadcast(regions))
+    r = S.rectangle(F.col("rx1"), F.col("ry1"), F.col("rx2"), F.col("ry2"))
+    # both constructors are built ABOVE the broadcast join and inlined into
+    # is_in, so the block_type dispatch folds to the rect×rect branch and
+    # the aggregate input is bare comparisons over the scan columns
+    j = li.crossJoin(F.broadcast(regions))
     return (
         j.groupBy("region_id")
         .agg(
-            F.sum(is_in(F.col("b"), F.col("r")).cast("long")).alias("n_inside"),
-            F.sum(
-                is_in(F.col("b"), F.col("r"), center=True).cast("long")
-            ).alias("n_center_inside"),
+            F.sum(is_in(b, r).cast("long")).alias("n_inside"),
+            F.sum(is_in(b, r, center=True).cast("long")).alias(
+                "n_center_inside"
+            ),
         )
     )
 
@@ -286,10 +302,18 @@ def q_geom_intersect_union(spark, sf: str) -> DataFrame:
         F.col("l_quantity") + F.col("l_linenumber") + 10.0,
         F.col("l_discount") * 100.0 + 8.0,
     )
-    df = li.select("l_orderkey", "l_linenumber", a.alias("a"), b.alias("b"))
-    ix = intersect(F.col("a"), F.col("b"))
-    un = union(F.col("a"), F.col("b"))
-    df = df.select("l_orderkey", "l_linenumber", ix.alias("i"), un.alias("u"))
+    # HYBRID staging (BENCH/PLANS.md r4 "constructor folding"): the two
+    # constructors are inlined INTO intersect/union so their literal
+    # block_types fold the rect×rect branch, and the i/u results are
+    # staged through named columns before field extraction (full inline
+    # would re-clone the whole tree per extracted field).  1.75x over
+    # both full staging and full inline.
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        intersect(a, b).alias("i"),
+        union(a, b).alias("u"),
+    )
     return df.select(
         "l_orderkey",
         "l_linenumber",
