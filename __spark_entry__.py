@@ -245,21 +245,28 @@ def q_geom_is_in_join(spark, sf: str) -> DataFrame:
         F.col("l_quantity") + F.col("l_extendedprice") / 1000.0,
         F.col("l_discount") * 100.0 + F.col("l_tax") * 100.0 + 1.0,
     )
+    # STAGED shape kept deliberately (BENCH/PLANS.md r4 "constructor
+    # folding"): inlining the constructors into is_in folds the dispatch,
+    # but is_in's 3x3 type matrix multiplies the inlined subtree through
+    # every branch — the py4j build + per-action analysis cost ate the
+    # execution win (3.5 s vs 2.0 s end-to-end).  With staged structs the
+    # matrix stays small; execution cost is the broadcast-join aggregate
+    # either way.
+    blocks = li.select(b.alias("b"))
     regions = spark.createDataFrame(
         _REGIONS, "region_id int, rx1 double, ry1 double, rx2 double, ry2 double"
+    ).select(
+        "region_id",
+        S.rectangle(F.col("rx1"), F.col("ry1"), F.col("rx2"), F.col("ry2")).alias("r"),
     )
-    r = S.rectangle(F.col("rx1"), F.col("ry1"), F.col("rx2"), F.col("ry2"))
-    # both constructors are built ABOVE the broadcast join and inlined into
-    # is_in, so the block_type dispatch folds to the rect×rect branch and
-    # the aggregate input is bare comparisons over the scan columns
-    j = li.crossJoin(F.broadcast(regions))
+    j = blocks.crossJoin(F.broadcast(regions))
     return (
         j.groupBy("region_id")
         .agg(
-            F.sum(is_in(b, r).cast("long")).alias("n_inside"),
-            F.sum(is_in(b, r, center=True).cast("long")).alias(
-                "n_center_inside"
-            ),
+            F.sum(is_in(F.col("b"), F.col("r")).cast("long")).alias("n_inside"),
+            F.sum(
+                is_in(F.col("b"), F.col("r"), center=True).cast("long")
+            ).alias("n_center_inside"),
         )
     )
 

@@ -141,7 +141,32 @@ _DOUBLE_FIELDS = {
 _LONG_FIELDS = {"id", "parent", "next"}
 
 
-def _as_col(v, name: str) -> Column:
+_CONST_CACHE: dict = {}
+
+
+def _const_field(name: str, v) -> Column:
+    """Memoized typed-and-aliased constant field Column.
+
+    One block constructor is ~24 fields x ~4 py4j round-trips; most
+    fields are NULLs (or repeated literals like block_type tags), so a
+    fresh build costs ~95 ms of driver time PER CONSTRUCTOR CALL — it
+    dominated the contract geometry queries (BENCH/PLANS.md r4).
+    Column objects wrap immutable JVM expressions, so the same
+    constant-field Column is safe to share across plans; the cache is
+    keyed on the active SparkContext so a JVM restart never serves
+    stale JavaObject refs."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (id(sc), name, v)
+    col = _CONST_CACHE.get(key)
+    if col is None:
+        col = _coerce(v, name).alias(name)
+        _CONST_CACHE[key] = col
+    return col
+
+
+def _coerce(v, name: str) -> Column:
     """Coerce a python literal / Column to the right field type."""
     if v is None:
         if name == "points":
@@ -161,13 +186,27 @@ def _as_col(v, name: str) -> Column:
     return col.cast(StringType())
 
 
+def _as_col(v, name: str) -> Column:
+    return _coerce(v, name)
+
+
 def make_block(**kwargs) -> Column:
     """Build a TEXTBLOCK struct Column with the given fields set, all other
-    fields NULL.  ``block_type`` is required."""
+    fields NULL.  ``block_type`` is required.
+
+    Constant fields (NULLs, literal tags, plain python scalars) come
+    from the memoized ``_const_field`` cache; only genuine Column
+    arguments build fresh py4j nodes — a rectangle constructor drops
+    from ~95 ms to ~20 ms of driver time."""
     assert "block_type" in kwargs, "block_type tag is required"
-    return F.struct(
-        *[_as_col(kwargs.get(n), n).alias(n) for n in FIELD_NAMES]
-    )
+    cols = []
+    for n in FIELD_NAMES:
+        v = kwargs.get(n)
+        if v is None or isinstance(v, (str, int, float, bool)):
+            cols.append(_const_field(n, v))
+        else:
+            cols.append(_as_col(v, n).alias(n))
+    return F.struct(*cols)
 
 
 # ---------------------------------------------------------------------------
