@@ -211,8 +211,8 @@ def minhash_base_hashes(sh: Column) -> Column:
     """array<long> of per-shingle base hashes x = md5_lane60(s) mod p.
     ONE md5 per shingle; every permutation below is integer arithmetic
     over this array.  Stage the result as a named column before calling
-    ``minhash_from_bases`` (it is referenced num_hashes times and Catalyst
-    does not CSE across references)."""
+    ``minhash_from_bases`` so the md5 transform is computed once, not
+    re-inlined into the fold."""
     return F.transform(
         sh, lambda s: F.pmod(md5_lane60(s), F.lit(MINHASH_P))
     )
@@ -221,20 +221,35 @@ def minhash_base_hashes(sh: Column) -> Column:
 def minhash_from_bases(bases: Column, num_hashes: int = 64) -> Column:
     """array<long> MinHash signature from a BASE-HASH ARRAY attribute:
     component i = min over x of (a_i·x + b_i) mod p — map-side, no
-    shuffle.  ``bases`` must be a plain attribute."""
+    shuffle.  ``bases`` must be a plain attribute.
 
-    def _perm(a, b):
-        # NB: a 1-arg lambda is required — a second (defaulted) parameter
+    Shape: ONE ``aggregate`` fold over the base array whose accumulator
+    is the running component-wise minimum (zip_with least against the
+    per-element permutation vector).  The r3 form — num_hashes separate
+    ``array_min(transform(...))`` passes — allocated num_hashes
+    intermediate arrays per row AND cost ~2 s of py4j build per query
+    construction; the fold is one pass, same values (A/B in
+    BENCH/PLANS.md r4).  MINHASH_P is the fold's +infinity: every
+    permuted value is mod p, so min(p, ...) is the true minimum on any
+    non-empty base array (empty arrays are excluded upstream — the r3
+    form returned NULL components there, the fold returns p)."""
+    perms = minhash_perm_consts(num_hashes)
+
+    def _per_elem(x):
+        # NB: 1-arg lambdas only — a second (even defaulted) parameter
         # would make Spark pass the element INDEX into it
-        return lambda x: F.pmod(
-            F.lit(a) * x + F.lit(b), F.lit(MINHASH_P)
+        return F.array(
+            *[
+                F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))
+                for a, b in perms
+            ]
         )
 
-    sigs = [
-        F.array_min(F.transform(bases, _perm(a, b)))
-        for a, b in minhash_perm_consts(num_hashes)
-    ]
-    return F.array(*sigs)
+    return F.aggregate(
+        bases,
+        F.array_repeat(F.lit(MINHASH_P).cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(acc, _per_elem(x), lambda u, v: F.least(u, v)),
+    )
 
 
 def minhash_signature(text: Column, num_hashes: int = 64, n: int = 3) -> Column:
