@@ -58,27 +58,39 @@ def ensure_pages(spark) -> str:
         from layout_parser_spark.sources import synth_pages
 
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        # partition count sized by VOLUME (~4k docs per partition), floored
+        # at the core count: a fixed 256 put 78 docs in each Arrow batch at
+        # sf0.1 — per-task python-worker overhead dominated the extraction
+        # timing.  Same rule a production job would apply per input split.
+        n = docs.count() * REPLICATE
+        # floor at 4 waves of tasks so one straggler can't extend the
+        # whole wall (A/B at sf0.1x4: 32 parts = 1 wave = straggler-bound)
+        parts = max(4 * CPUS, min(512, n // 4000))
         synth_pages(docs, replicate=REPLICATE).repartition(
-            256
+            parts
         ).write.mode("overwrite").parquet(PAGES_DIR)
     return PAGES_DIR
 
 
 def run_extraction(spark, pages_dir: str) -> tuple[float, int, int]:
-    """Returns (seconds, n_docs, total_bytes)."""
+    """Returns (best-of-2 seconds, n_docs, total_bytes) — same best-of-N
+    protocol as the query suite (single runs swing 2x+ on this host)."""
     from pyspark.sql import functions as F
 
     from layout_parser_spark.plans import extract_main_text
 
     pages = spark.read.parquet(pages_dir)
-    t0 = time.perf_counter()
-    out = extract_main_text(pages)
-    row = out.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.length("extracted_text")).alias("b"),
-    ).collect()[0]
-    dt = time.perf_counter() - t0
-    return dt, int(row.n), int(row.b)
+    best, row = None, None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = extract_main_text(pages)
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("extracted_text")).alias("b"),
+        ).collect()[0]
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best, int(row.n), int(row.b)
 
 
 def timed(fn) -> float:
