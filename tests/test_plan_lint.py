@@ -35,3 +35,23 @@ def test_no_cartesian_or_unexpected_bnlj(spark):
         if flags:
             offenders[name] = flags
     assert offenders == {}, f"scale-hostile join shapes: {offenders}"
+
+
+def test_constructed_geometry_folds_to_arithmetic(spark):
+    """Constructor-folding guard (BENCH/PLANS.md r4): queries that CONSTRUCT
+    blocks with a literal block_type must optimize to bare scan-column
+    arithmetic — no materialized block struct, no runtime block_type
+    dispatch.  A refactor that re-stages the constructor through an
+    aliased projection reintroduces a 24-field per-row struct build and a
+    CASE WHEN per geometry op (3-4x slower at sf0.1, worse at scale)."""
+    qs = entry.queries()
+    for name in ["geom_rect_algebra", "geom_quad_shoelace"]:
+        plan = qs[name](spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+        assert "block_type" not in plan, f"{name}: unfolded type dispatch"
+        assert "struct(" not in plan, f"{name}: materialized block struct"
+    # hybrid queries stage exactly ONE struct level (its literal
+    # block_type FIELD may appear in the plan); the constructor level
+    # below must still fold — no runtime dispatch COMPARISON survives
+    for name in ["geom_interval_ops", "geom_intersect_union"]:
+        plan = qs[name](spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+        assert ".block_type =" not in plan, f"{name}: unfolded type dispatch"
