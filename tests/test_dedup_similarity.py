@@ -654,3 +654,31 @@ def test_kmv_sketch_properties(spark):
     b = sorted(lane(str(i)) for i in range(5000, 20000))[:64]
     merged_kth = sorted(set(a) | set(b))[63]
     assert merged_kth == sorted(lane(str(i)) for i in range(20000))[63]
+
+
+def test_minhash_vectorized_kernel_equals_column_fold(spark):
+    """The Arrow signature kernel must be BIT-IDENTICAL to the pure-Column
+    fold (minhash_from_bases) — including the empty-array identity [p]*k
+    — so swapping execution paths can never change LSH results."""
+    from layout_parser_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_from_bases,
+        minhash_signatures_vectorized,
+    )
+
+    # bases are always pmod(lane, p) upstream — the kernel/fold domain is
+    # [0, p): a·x then stays < 2^62, exact in int64/BIGINT alike
+    rows = [
+        (0, [123456789, 987654321, 5, MINHASH_P - 1]),
+        (1, [0]),
+        (2, []),                      # empty → identity vector
+        (3, list(range(1000, 1300))),  # chunk-filler
+        (4, [MINHASH_P - 2, 1, MINHASH_P // 2]),
+    ]
+    df = spark.createDataFrame(rows, "id long, bases array<long>")
+    fold = {r.id: r.sig for r in df.select(
+        "id", minhash_from_bases(F.col("bases"), 16).alias("sig")).collect()}
+    kern = {r.id: r.sig for r in df.select(
+        "id", minhash_signatures_vectorized(16)(F.col("bases")).alias("sig")).collect()}
+    # the fold returns [p]*k for empty input arrays as well
+    assert kern == fold
