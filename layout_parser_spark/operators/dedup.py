@@ -395,6 +395,19 @@ def minhash_lsh_pairs(
     # ngram_jaccard_pairs) — candidates come from a sort-merge equi-join
     a = banded.alias("a").hint("MERGE")
     b = banded.alias("b").hint("MERGE")
+    # est_jaccard is computed BEFORE the pair-dedup: the same (id_a,id_b)
+    # always carries the same signatures, so the estimate is identical on
+    # every duplicate candidate row and the dropDuplicates exchange
+    # shuffles (id_a, id_b, est) — 24 bytes — instead of two
+    # num_hashes-long signature arrays (~1 KB) per candidate.
+    est = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y
+            ),
+            lambda v: v,
+        )
+    ) / F.lit(num_hashes)
     cand = (
         a.join(
             b,
@@ -402,25 +415,15 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .where(est >= threshold)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.round(est, 6).alias("est_jaccard"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with(
-                F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y
-            ),
-            lambda v: v,
-        )
-    ) / F.lit(num_hashes)
-    return cand.withColumn("est_jaccard", est).where(
-        F.col("est_jaccard") >= threshold
-    ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    return cand
 
 
 def simhash_from_hashes(hashes: Column, n_toks: Column) -> Column:
