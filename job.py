@@ -114,6 +114,25 @@ def main(argv=None) -> int:
     bucket_method = args.bucket_method or (
         "iceberg" if is_table else "xxhash64"
     )
+    if bucket_method == "iceberg":
+        from layout_parser_spark.sources.iceberg import _have_iceberg
+
+        if not _have_iceberg(spark):
+            if args.bucket_method == "iceberg":
+                # explicit request → fail loudly with the gate message
+                raise NotImplementedError(
+                    "--bucket-method iceberg needs an Iceberg runtime on "
+                    "the classpath (spark-submit --packages org.apache."
+                    "iceberg:iceberg-spark-runtime-...); falling back is "
+                    "only automatic when the method was inferred"
+                )
+            print(
+                "WARN: input-format=table but no Iceberg runtime on the "
+                "classpath - resume buckets use pmod(xxhash64(url), N) "
+                "(identical resume semantics, no partition pruning)",
+                file=sys.stderr,
+            )
+            bucket_method = "xxhash64"
     if args.lang:
         # native Column filter BEFORE the UDF stage → pushed into the scan
         pages = pages.where(F.col("lang") == args.lang)
