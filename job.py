@@ -79,8 +79,18 @@ def main(argv=None) -> int:
             curation_stats,
         )
 
+        corpus = spark.read.parquet(args.input)
+        if "extracted_text" not in corpus.columns:
+            # raw pages table → run the extraction front-end first, then
+            # curate its output (the funnel's text column is the
+            # EXTRACTED text, not the raw page text)
+            corpus = extract_main_text(
+                corpus,
+                salt_partitions=args.salt_partitions,
+                salt_round=args.salt_round,
+            ).select("url", "warc_ts", "lang", "extracted_text", "n_blocks")
         annotated = curate_corpus(
-            spark.read.parquet(args.input),
+            corpus,
             minhash_threshold=args.minhash_threshold,
             min_tokens=args.min_tokens,
         )
