@@ -1,0 +1,67 @@
+"""E2E smoke of the spark-submit entry (job.py) through its real CLI —
+pins the two r4 field bugs: (1) table-format input without an Iceberg
+runtime must fall back to xxhash64 resume buckets instead of dying in
+analysis on system.bucket; (2) --curate over a RAW pages table must run
+the extraction front-end before the funnel (curate_corpus needs
+extracted_text)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+REPO = "/root/repo"
+
+
+def _run(args, timeout=420):
+    return subprocess.run(
+        [sys.executable, f"{REPO}/job.py", *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=REPO,
+    )
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    from layout_parser_spark.sources import synth_pages
+
+    d = str(tmp_path_factory.mktemp("job_pages") / "pages")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    synth_pages(docs.limit(200)).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_extract_resume_and_iceberg_fallback(spark, pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    # input-format=table on a plain path: must warn + fall back, not die
+    r = _run(["--input", pages_dir, "--input-format", "table",
+              "--output", out, "--buckets", "3", "--salt-partitions", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "processed=3" in r.stdout
+    assert "no Iceberg runtime" in r.stderr
+    # byte-identity of the job output against the source corpus
+    res = spark.read.parquet(f"{out}/bucket=*")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(row.extracted_text for row in res.collect())
+    want = sorted(row.text for row in docs.limit(200).collect())
+    assert got == want
+    # exact resume: second run must skip all committed buckets
+    r2 = _run(["--input", pages_dir, "--input-format", "table",
+               "--output", out, "--buckets", "3", "--salt-partitions", "2"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "processed=0" in r2.stdout and "skipped(previously done)=3" in r2.stdout
+
+
+def test_curate_from_raw_pages(pages_dir, tmp_path):
+    out = str(tmp_path / "cur")
+    r = _run(["--input", pages_dir, "--output", out,
+              "--salt-partitions", "2", "--curate"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    # monotone funnel over the full input
+    assert stats["n_input"] == 200
+    assert (stats["n_input"] >= stats["url_keep"] >= stats["exact_keep"]
+            >= stats["cluster_keep"] >= stats["quality_keep"] == stats["keep"])
