@@ -682,3 +682,54 @@ def test_minhash_vectorized_kernel_equals_column_fold(spark):
         "id", minhash_signatures_vectorized(16)(F.col("bases")).alias("sig")).collect()}
     # the fold returns [p]*k for empty input arrays as well
     assert kern == fold
+
+
+def test_simhash_vectorized_kernel_equals_column_fold(spark):
+    """The Arrow simhash kernel must be BIT-IDENTICAL to the pure-Column
+    fold (simhash_from_hashes) on every edge the fold defines: normal
+    rows, the empty-array all-bits-set vote (2·0 ≥ 0), NULL hash arrays
+    (every lane falls to otherwise(0)), and NULL n_toks (NULL comparison
+    → false → 0) — so swapping execution paths can never change buckets."""
+    import hashlib
+
+    from layout_parser_spark.operators.dedup import (
+        SIMHASH_BITS,
+        md5_lane60,
+        simhash_from_hashes,
+        simhash_vectorized,
+    )
+
+    lanes = [
+        int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        for w in ["alpha", "beta", "gamma", "delta", "alpha"]
+    ]
+    rows = [
+        (0, lanes, 5),
+        (1, lanes[:1], 1),
+        (2, [], 0),                # empty → every majority vote passes
+        (3, None, 0),              # NULL hashes → 0
+        (4, lanes[:3], None),      # NULL n_toks → 0
+        (5, [(1 << SIMHASH_BITS) - 1], 1),  # all-ones lane
+        (6, list(range(7, 700)), 693),      # chunk filler
+    ]
+    df = spark.createDataFrame(rows, "id long, h array<long>, n long")
+    fold = {r.id: r.sim for r in df.select(
+        "id", simhash_from_hashes(F.col("h"), F.col("n")).alias("sim")).collect()}
+    kern = {r.id: r.sim for r in df.select(
+        "id", simhash_vectorized()(F.col("h"), F.col("n")).alias("sim")).collect()}
+    assert fold[2] == (1 << SIMHASH_BITS) - 1  # pin the empty-array edge
+    assert kern == fold
+
+    # and through the real staging: token lanes from text
+    docs = spark.createDataFrame(
+        [(0, "a b c a"), (1, ""), (2, "z")], "doc_id long, text string")
+    staged = docs.select(
+        "doc_id",
+        F.transform(F.split("text", " "), md5_lane60).alias("h"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    f2 = {r.doc_id: r.sim for r in staged.select(
+        "doc_id", simhash_from_hashes(F.col("h"), F.col("n")).alias("sim")).collect()}
+    k2 = {r.doc_id: r.sim for r in staged.select(
+        "doc_id", simhash_vectorized()(F.col("h"), F.col("n")).alias("sim")).collect()}
+    assert k2 == f2
