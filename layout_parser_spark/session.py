@@ -28,6 +28,13 @@ DEFAULT_CONF = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
+    # Per-Column-op call-site capture costs an extra JVM round-trip on
+    # EVERY DataFrame API call; the deep geometry expression trees make
+    # thousands of such calls per query build (measured: is_in query
+    # build 1.20 s → 0.47 s, intersect∪union 2.67 s → 1.54 s with this
+    # off).  The only loss is the "called from file:line" origin in
+    # error messages — re-enable via extra_conf when debugging.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
