@@ -929,6 +929,88 @@ FROM blocks GROUP BY doc
 """
 
 
+def q_gcv_json_roundtrip(spark, sf: str) -> DataFrame:
+    """§2.7 GCV protobuf-JSON (de)serialization E2E (sources/gcv.py,
+    round-4 addition): synthesize an AnnotateImageResponse per document
+    (0th whole-page annotation + one textAnnotation per leading token
+    with deterministic boxes), serialize with ``to_json``, parse back
+    through the explicit camelCase schema, flatten via
+    ``gcv_annotation_tokens``, and aggregate.  The DuckDB oracle derives
+    the same aggregates from the RAW text arithmetically, so a green row
+    certifies the whole synth→JSON→parse→explode path against ground
+    truth (not against itself)."""
+    from layout_parser_spark.sources.gcv import (
+        gcv_annotation_tokens,
+        parse_gcv_responses,
+        serialize_gcv_responses,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+    toks = F.split(F.col("text"), " ")
+    n = F.least(F.size(toks), F.lit(8))
+    y1 = F.pmod(F.col("doc_id"), F.lit(7)).cast("int")
+
+    def _vert(x, y):
+        return F.struct(x.cast("int").alias("x"), y.cast("int").alias("y"))
+
+    def _poly(x1, yy1, x2, yy2):
+        return F.struct(
+            F.array(
+                _vert(x1, yy1), _vert(x2, yy1), _vert(x2, yy2), _vert(x1, yy2)
+            ).alias("vertices")
+        )
+
+    def _ann(k):
+        return F.struct(
+            F.col("lang").alias("locale"),
+            F.element_at(toks, k + 1).alias("description"),
+            _poly(k * 10, y1, k * 10 + 9, y1 + 5).alias("boundingPoly"),
+        )
+
+    page_ann = F.struct(
+        F.col("lang").alias("locale"),
+        F.col("text").alias("description"),
+        _poly(F.lit(0), F.lit(0), F.lit(1000), F.lit(1000)).alias(
+            "boundingPoly"
+        ),
+    )
+    resp = F.struct(
+        F.concat(
+            F.array(page_ann), F.transform(F.sequence(F.lit(0), n - 1), _ann)
+        ).alias("textAnnotations")
+    )
+    js = serialize_gcv_responses(
+        docs.select("doc_id", resp.alias("gcv")), parsed_col="gcv"
+    ).select("doc_id", "response_json")
+    parsed = parse_gcv_responses(js, json_col="response_json")
+    tok = gcv_annotation_tokens(parsed, ["doc_id"])
+    vx = sum(F.element_at(F.col("vertices"), i) for i in (1, 3, 5, 7))
+    vy = sum(F.element_at(F.col("vertices"), i) for i in (2, 4, 6, 8))
+    return tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ann"),
+        F.sum(vx).cast("long").alias("sum_vx"),
+        F.sum(vy).cast("long").alias("sum_vy"),
+        F.max(F.when(F.col("pos") == 0, F.col("text"))).alias("first_tok"),
+        F.max("locale").alias("locale"),
+    )
+
+
+SQL_GCV_JSON = """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), per AS (
+  SELECT doc_id, lang, toks, UNNEST(range(LEAST(len(toks), 8))) AS k FROM t
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ann,
+       CAST(SUM(40 * k + 18) AS BIGINT) AS sum_vx,
+       CAST(SUM(4 * (doc_id % 7) + 10) AS BIGINT) AS sum_vy,
+       MAX(CASE WHEN k = 0 THEN toks[1] END) AS first_tok,
+       MAX(lang) AS locale
+FROM per GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational core (§2.11 analogues)
 # ---------------------------------------------------------------------------
@@ -2642,9 +2724,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registered_domains": q_registered_domains,
         "docs_quality_model": q_docs_quality_model,
         "pack_sequences": q_pack_sequences,
-        "snapshot_diff": q_snapshot_diff,
+        "gcv_json_roundtrip": q_gcv_json_roundtrip,
         # --- tail (beyond the driver's 50-query window): driver-green
-        # r1-r3 AND pinned by pytest golden/round-trip tests ---
+        # in a prior round AND pinned by pytest golden/round-trip tests ---
+        "snapshot_diff": q_snapshot_diff,
         "geom_rect_algebra": q_geom_rect_algebra,
         "geom_interval_ops": q_geom_interval_ops,
         "geom_quad_shoelace": q_geom_quad_shoelace,
@@ -2678,6 +2761,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": SQL_RANGE_JOIN,
         "ocr_gather_data": SQL_OCR_GATHER,
         "gcv_fulltext": SQL_GCV,
+        "gcv_json_roundtrip": SQL_GCV_JSON,
         "agg_pricing_summary": SQL_Q1,
         "join_region_revenue": SQL_REGION_REV,
         "topk_events_per_user": SQL_TOPK,
