@@ -43,7 +43,8 @@ def pandas_gather(res: pd.DataFrame, levels):
                     gp["conf"].mean(),
                     gp["text"].str.cat(sep=" "),
                 ]
-            )
+            ),
+            include_groups=False,
         )
         .reset_index(drop=True)
         .reset_index()
