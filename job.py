@@ -62,6 +62,18 @@ def main(argv=None) -> int:
                          "<output>/stats (one-row funnel report)")
     ap.add_argument("--minhash-threshold", type=float, default=0.7)
     ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--stream", action="store_true",
+                    help="incremental mode: Structured Streaming file "
+                         "source over a GROWING pages parquet directory; "
+                         "each invocation drains only files not yet "
+                         "committed in the checkpoint (trigger="
+                         "availableNow) and stops - exactly-once without "
+                         "the bucket manifest")
+    ap.add_argument("--checkpoint", default=None,
+                    help="streaming checkpoint location "
+                         "(default <output>/_checkpoint)")
+    ap.add_argument("--max-files-per-trigger", type=int, default=8,
+                    help="streaming micro-batch size in input files")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -73,6 +85,38 @@ def main(argv=None) -> int:
     from layout_parser_spark.sources.iceberg import read_pages
 
     spark = get_spark("lps-extract")
+    if args.stream:
+        from layout_parser_spark.streaming.extract_stream import (
+            extract_stream,
+        )
+
+        ckpt = args.checkpoint or f"{args.output}/_checkpoint"
+        out = extract_stream(
+            spark,
+            args.input,
+            max_files_per_trigger=args.max_files_per_trigger,
+            where=(F.col("lang") == args.lang) if args.lang else None,
+            salt_partitions=args.salt_partitions,
+            salt_round=args.salt_round,
+        ).select("url", "warc_ts", "lang", "extracted_text", "n_blocks")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{args.output}/extracted")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_rows = sum(
+            int(
+                p.numInputRows
+                if hasattr(p, "numInputRows")
+                else p["numInputRows"]
+            )
+            for p in q.recentProgress
+        )
+        print(f"stream: input_rows={n_rows} checkpoint={ckpt}")
+        return 0
     if args.curate:
         from layout_parser_spark.plans.curate import (
             curate_corpus,

@@ -26,10 +26,17 @@ def extract_stream(
     pages_dir: str,
     schema=None,
     max_files_per_trigger: int = 8,
+    where=None,
+    **extract_kwargs,
 ) -> DataFrame:
     """Streaming pages source → extraction transforms.  Returns the
     streaming DataFrame; caller attaches ``writeStream`` (see
-    tests/test_streaming.py for the parquet-sink wiring)."""
+    tests/test_streaming.py for the parquet-sink wiring).
+
+    ``where`` is an optional Column predicate applied BEFORE the UDF
+    stage (native filters reach the streaming scan, same pushdown story
+    as the batch job's --lang); ``extract_kwargs`` pass through to
+    ``extract_main_text`` (e.g. ``salt_partitions``)."""
     if schema is None:
         schema = spark.read.parquet(pages_dir).schema
     stream = (
@@ -37,7 +44,9 @@ def extract_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(pages_dir)
     )
-    return extract_main_text(stream)
+    if where is not None:
+        stream = stream.where(where)
+    return extract_main_text(stream, **extract_kwargs)
 
 
 def windowed_block_stats(extracted: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -65,3 +65,40 @@ def test_curate_from_raw_pages(pages_dir, tmp_path):
     assert stats["n_input"] == 200
     assert (stats["n_input"] >= stats["url_keep"] >= stats["exact_keep"]
             >= stats["cluster_keep"] >= stats["quality_keep"] == stats["keep"])
+
+
+def test_stream_incremental_exactly_once(spark, tmp_path):
+    """--stream drains only files not yet committed in the checkpoint:
+    first run extracts the initial files, an immediate re-run processes 0
+    rows, and after appending new page files a third run picks up ONLY
+    the new ones — with byte-identical extracted text throughout."""
+    from pyspark.sql import functions as F
+
+    from layout_parser_spark.sources import synth_pages
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    synth_pages(docs.where(F.col("doc_id") < 100)).write.parquet(pages)
+
+    r1 = _run(["--input", pages, "--output", out, "--stream"])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "input_rows=100" in r1.stdout
+
+    r2 = _run(["--input", pages, "--output", out, "--stream"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "input_rows=0" in r2.stdout
+
+    synth_pages(
+        docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    ).write.mode("append").parquet(pages)
+    r3 = _run(["--input", pages, "--output", out, "--stream"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "input_rows=50" in r3.stdout
+
+    res = spark.read.parquet(f"{out}/extracted")
+    got = sorted(r.extracted_text for r in res.collect())
+    want = sorted(
+        r.text for r in docs.where(F.col("doc_id") < 150).collect()
+    )
+    assert got == want
