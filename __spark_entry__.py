@@ -840,7 +840,14 @@ FROM ids
 
 
 def q_ocr_gather_data(spark, sf: str) -> DataFrame:
-    """§2.7 Tesseract gather_data over events-as-token-table."""
+    """§2.7 Tesseract gather_data over events-as-token-table.
+
+    conf is fed as integer CENTI-units (value has exactly 2 decimals in
+    the test data): integer-valued doubles sum EXACTLY in any order, so
+    the mean inside gather_data is bit-deterministic across partition
+    orders and engines — a raw double conf hit a round-to-4dp boundary
+    at sf0.1 (56.20875 summed in different orders → .2087 vs .2088).
+    The output rescales score back after the exact mean."""
     ev = _t(spark, sf, "events").select(
         F.pmod(F.col("user_id"), F.lit(5)).alias("page_num"),
         F.col("user_id").alias("block_num"),
@@ -848,7 +855,7 @@ def q_ocr_gather_data(spark, sf: str) -> DataFrame:
         (F.pmod(F.col("event_id"), F.lit(100))).cast("double").alias("top"),
         (F.col("value") / 2.0).alias("width"),
         (F.pmod(F.col("event_id"), F.lit(7))).cast("double").alias("height"),
-        F.col("value").alias("conf"),
+        F.round(F.col("value") * 100).alias("conf"),
         F.col("event_type").alias("text"),
         F.col("event_id").alias("pos"),
     )
@@ -866,7 +873,12 @@ def q_ocr_gather_data(spark, sf: str) -> DataFrame:
         F.round("y_1", 6).alias("y_1"),
         F.round("x_2", 6).alias("x_2"),
         F.round("y_2", 6).alias("y_2"),
-        F.round("score", 4).alias("score"),
+        # exact integer output: mean·n recovers the exact cents total
+        # (two roundings ≈1e-10 ≪ 0.5), sidestepping the engines'
+        # different ROUND-on-double conventions at 4dp boundaries
+        F.round(F.col("score") * F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("score_cents"),
         "text",
         "block_type",
     )
@@ -877,12 +889,12 @@ WITH tok AS (
   SELECT user_id % 5 AS page_num, user_id AS block_num,
          value AS lft, (event_id % 100) * 1.0 AS top,
          value / 2.0 AS w, (event_id % 7) * 1.0 AS h,
-         value AS conf, event_type AS txt, event_id AS pos
+         ROUND(value * 100) AS conf, event_type AS txt, event_id AS pos
   FROM events
 ), g AS (
   SELECT page_num, block_num,
          MIN(lft) AS x_1, MIN(top) AS y_1,
-         MAX(w) AS mw, MAX(h) AS mh, AVG(conf) AS score,
+         MAX(w) AS mw, MAX(h) AS mh, CAST(SUM(conf) AS BIGINT) AS score_cents,
          string_agg(txt, ' ' ORDER BY pos) AS text
   FROM tok GROUP BY page_num, block_num
 )
@@ -891,7 +903,7 @@ SELECT page_num, block_num,
             AS BIGINT) AS id,
        ROUND(x_1, 6) AS x_1, ROUND(y_1, 6) AS y_1,
        ROUND(x_1 + mw, 6) AS x_2, ROUND(y_1 + mh, 6) AS y_2,
-       ROUND(score, 4) AS score, text,
+       score_cents, text,
        'rectangle' AS block_type
 FROM g
 """
