@@ -168,7 +168,17 @@ def gcv_annotation_tokens(
     """Token table for ``gather_text_annotations`` (``gcv_agent.py:181-203``):
     one row per text annotation SKIPPING the 0th whole-page entry, with
     ``pos`` = enumeration order and the flat 8-element vertex array."""
-    ann = F.posexplode(F.col(parsed_col)["textAnnotations"])
+    # OUTER posexplode deliberately: a plain (inner) generate triggers
+    # Catalyst's InferFiltersFromGenerate, which clones the generator
+    # input into a pre-filter `size(...) > 0 AND isnotnull(...)` — and
+    # when the annotations column is a from_json expression (the normal
+    # case: parse_gcv_responses is lazy), the whole JSON parse evaluates
+    # 3x per row.  The outer generate infers no filter (it preserves
+    # rows); empty/NULL-annotation rows surface as one NULL row each and
+    # die in the cheap post-generate `_i >= 1` attribute filter (NULL
+    # comparisons are false).  Verified: one from_json per row in the
+    # optimized plan vs three (tests/test_gcv_source.py plan pin).
+    ann = F.posexplode_outer(F.col(parsed_col)["textAnnotations"])
     out = df.select(*doc_cols, ann.alias("_i", "_a")).where(F.col("_i") >= 1)
     return out.select(
         *doc_cols,
@@ -187,29 +197,35 @@ def gcv_symbol_tokens(
     hierarchy indices ``(pi, bi, qi, wi, si)``, symbol text/confidence,
     the detectedBreak type, and a per-document ``pos`` in reading order
     (window partitioned by the document key — bounded per-doc state)."""
+    # OUTER generates at every level for the same reason as
+    # gcv_annotation_tokens: the inner form's inferred pre-filters clone
+    # the generator input (a from_json expression at the first level,
+    # re-collapsed projections below), multiplying the JSON-parse CPU.
+    # NULL/empty levels propagate as single NULL rows and die in the one
+    # cheap `si IS NOT NULL` attribute filter at the bottom.
     pg = df.select(
         *doc_cols,
-        F.posexplode(F.col(parsed_col)["fullTextAnnotation"]["pages"]).alias(
-            "pi", "_pg"
-        ),
+        F.posexplode_outer(
+            F.col(parsed_col)["fullTextAnnotation"]["pages"]
+        ).alias("pi", "_pg"),
     )
     bl = pg.select(
         *doc_cols,
         "pi",
-        F.posexplode(F.col("_pg")["blocks"]).alias("bi", "_bl"),
+        F.posexplode_outer(F.col("_pg")["blocks"]).alias("bi", "_bl"),
     )
     pr = bl.select(
         *doc_cols,
         "pi",
         "bi",
-        F.posexplode(F.col("_bl")["paragraphs"]).alias("qi", "_pr"),
+        F.posexplode_outer(F.col("_bl")["paragraphs"]).alias("qi", "_pr"),
     )
     wd = pr.select(
         *doc_cols,
         "pi",
         "bi",
         "qi",
-        F.posexplode(F.col("_pr")["words"]).alias("wi", "_wd"),
+        F.posexplode_outer(F.col("_pr")["words"]).alias("wi", "_wd"),
     )
     sy = wd.select(
         *doc_cols,
@@ -217,8 +233,8 @@ def gcv_symbol_tokens(
         "bi",
         "qi",
         "wi",
-        F.posexplode(F.col("_wd")["symbols"]).alias("si", "_sy"),
-    )
+        F.posexplode_outer(F.col("_wd")["symbols"]).alias("si", "_sy"),
+    ).where(F.col("si").isNotNull())
     w = Window.partitionBy(*doc_cols).orderBy("pi", "bi", "qi", "wi", "si")
     return sy.select(
         *doc_cols,

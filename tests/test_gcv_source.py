@@ -132,3 +132,43 @@ def test_parse_to_fulltext_e2e(parsed, resp):
         for r in gather_full_text(sym, ["pi", "bi"], ["qi", "wi"]).collect()
     }
     assert got == expected
+
+
+def test_single_json_parse_in_token_plans(spark):
+    """The token flatteners must evaluate from_json ONCE per row: an
+    inner generate lets InferFiltersFromGenerate clone the parse into a
+    `size(...) > 0` pre-filter (3 evaluations/row on the annotation
+    path).  Pins the outer-generate shape and the empty/NULL-row
+    semantics it relies on."""
+    import json
+
+    from layout_parser_spark.sources.gcv import (
+        gcv_annotation_tokens,
+        gcv_symbol_tokens,
+        parse_gcv_responses,
+    )
+
+    ann = {
+        "textAnnotations": [
+            {"locale": "en", "description": "a b",
+             "boundingPoly": {"vertices": [{"x": 0, "y": 0}, {"x": 2, "y": 0},
+                                           {"x": 2, "y": 1}, {"x": 0, "y": 1}]}},
+            {"description": "a",
+             "boundingPoly": {"vertices": [{"x": 0, "y": 0}, {"x": 1, "y": 0},
+                                           {"x": 1, "y": 1}, {"x": 0, "y": 1}]}},
+        ]
+    }
+    df = spark.createDataFrame(
+        [("u0", json.dumps(ann)), ("u1", "{}"), ("u2", None)],
+        "url string, response string",
+    )
+    parsed = parse_gcv_responses(df)
+    toks = gcv_annotation_tokens(parsed, ["url"])
+    # empty / NULL responses contribute no rows, parse happens once
+    assert [(r.url, r.pos, r.text) for r in toks.collect()] == [("u0", 0, "a")]
+    plan = toks._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("from_json") == 1, plan
+    syms = gcv_symbol_tokens(parsed, ["url"])
+    assert syms.count() == 0  # no fullTextAnnotation anywhere
+    plan2 = syms._jdf.queryExecution().optimizedPlan().toString()
+    assert plan2.count("from_json") == 1, plan2
