@@ -156,8 +156,11 @@ def ngram_jaccard_pairs(
         "id",
         *(["blk"] if block_col else []),
         F.size("_sh").alias("n_sh"),
-        F.explode("_sh").alias("shingle"),
-    )
+        # outer + notnull: inner generates let InferFiltersFromGenerate
+        # clone the staged shingle transform into a size()>0 pre-filter
+        # (2x the shingle CPU); see sources/gcv.py for the full story
+        F.explode_outer("_sh").alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
     join_keys = ["shingle"] + (["blk"] if block_col else [])
     if materialize_shingles:
         # the exploded shingle table is consumed by up to three subtrees
@@ -684,8 +687,14 @@ def ngram_overlap_counts(
     join anywhere."""
     tr = _staged_shingles(train, text_col, id_col, n)
     ev = _staged_shingles(eval_df, text_col, id_col, n)
-    tr_sh = tr.select("id", F.explode("_sh").alias("g"))
-    ev_sh = ev.select(F.explode("_sh").alias("g")).distinct()
+    tr_sh = tr.select("id", F.explode_outer("_sh").alias("g")).where(
+        F.col("g").isNotNull()
+    )
+    ev_sh = (
+        ev.select(F.explode_outer("_sh").alias("g"))
+        .where(F.col("g").isNotNull())
+        .distinct()
+    )
     hits = (
         tr_sh.join(ev_sh, on="g")
         .groupBy("id")
@@ -722,7 +731,9 @@ def ngram_overlap_counts_flagged(
     )
     staged = _staged_shingles(flagged, text_col, id_col, n,
                               block_col="_is_eval")
-    sh = staged.select("id", "blk", F.explode("_sh").alias("g"))
+    sh = staged.select(
+        "id", "blk", F.explode_outer("_sh").alias("g")
+    ).where(F.col("g").isNotNull())
     if materialize_shingles:
         from pyspark.storagelevel import StorageLevel
 
@@ -772,10 +783,16 @@ def repeated_line_removal(
 
     pat = _re.escape(delim)
     parts = F.split(F.col(text_col), pat)
-    lines = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(parts).alias("pos", "line"),
-    ).select("id", "pos", "line", F.xxhash64(F.col("line")).alias("ll"))
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            # outer + notnull: the inner form's inferred pre-filter
+            # re-evaluates the split (see sources/gcv.py)
+            F.posexplode_outer(parts).alias("pos", "line"),
+        )
+        .where(F.col("pos").isNotNull())
+        .select("id", "pos", "line", F.xxhash64(F.col("line")).alias("ll"))
+    )
     hot = (
         lines.groupBy("ll")
         .agg(F.countDistinct("id").alias("dfc"))
@@ -853,7 +870,12 @@ def duplicated_span_removal(
             ),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    grams = toksd.select("id", F.posexplode(gram_lanes).alias("pos", "gl"))
+    grams = toksd.select(
+        "id",
+        # outer + notnull: the inferred pre-filter of an inner generate
+        # would re-run the whole gram-lane transform (2x gram hashing)
+        F.posexplode_outer(gram_lanes).alias("pos", "gl"),
+    ).where(F.col("gl").isNotNull())
     dup = (
         grams.groupBy("gl")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -862,16 +884,17 @@ def duplicated_span_removal(
     )
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
-    )
+        F.posexplode_outer(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).where(F.col("pos").isNotNull())
     covered = (
         grams.join(dup, on="gl")
         .select(
             "id",
-            F.explode(
+            F.explode_outer(
                 F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
             ).alias("pos"),
         )
+        .where(F.col("pos").isNotNull())
         .distinct()
     )
     kept = toks.join(covered, on=["id", "pos"], how="left_anti")

@@ -104,7 +104,7 @@ def range_join(
     bw = float(bucket_width)
     ib = intervals.withColumn(
         "_b",
-        F.explode(
+        F.explode_outer(
             F.sequence(
                 F.floor(F.col(lo_col) / bw).cast("long"),
                 F.floor(
@@ -112,7 +112,7 @@ def range_join(
                 ).cast("long"),
             )
         ),
-    )
+    ).where(F.col("_b").isNotNull())
     pb = points.withColumn(
         "_b", F.floor(F.col(value_col) / bw).cast("long")
     )

@@ -170,8 +170,9 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
     scored token has count >= 1)."""
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(tokens(F.col(text_col))).alias("tok"),
-    )
+        # outer + notnull: avoids the inferred pre-filter re-tokenizing
+        F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+    ).where(F.col("tok").isNotNull())
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("t"))
     return (
@@ -226,9 +227,13 @@ def corpus_top_ngrams(
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        grams = toksd.select("_rid", F.explode(gram_arr).alias("gram"))
+        grams = toksd.select(
+            "_rid", F.explode_outer(gram_arr).alias("gram")
+        ).where(F.col("gram").isNotNull())
     else:
-        grams = toksd.select("_rid", F.explode(F.col("_toks")).alias("gram"))
+        grams = toksd.select(
+            "_rid", F.explode_outer(F.col("_toks")).alias("gram")
+        ).where(F.col("gram").isNotNull())
     agg = grams.groupBy("gram").agg(
         F.count(F.lit(1)).alias("occurrences"),
         F.countDistinct("_rid").alias("doc_frequency"),
@@ -284,7 +289,9 @@ def hashed_linear_score(
     toksd = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
     )
-    tok = toksd.select("id", F.explode("_toks").alias("tok"))
+    tok = toksd.select("id", F.explode_outer("_toks").alias("tok")).where(
+        F.col("tok").isNotNull()
+    )
     scored = tok.select(
         "id",
         F.element_at(

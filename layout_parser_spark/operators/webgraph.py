@@ -63,9 +63,13 @@ def extract_links(
     hrefs = F.regexp_extract_all(
         F.col(html_col).cast("string"), F.lit(HREF_PATTERN), F.lit(1)
     )
+    # outer + notnull: an inner explode gets an inferred size()>0
+    # pre-filter that re-runs regexp_extract_all over the full html
+    # (3x the regex CPU at scale); see sources/gcv.py for the mechanism
     return (
         pages.select(F.col(url_col).alias("src_url"), hrefs.alias("_h"))
-        .select("src_url", F.explode("_h").alias("href"))
+        .select("src_url", F.explode_outer("_h").alias("href"))
+        .where(F.col("href").isNotNull())
     )
 
 
