@@ -829,6 +829,7 @@ def duplicated_span_removal(
     n: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize_grams: bool = False,
 ) -> DataFrame:
     """Exact-substring deduplication in the style of Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better"): any
@@ -876,6 +877,16 @@ def duplicated_span_removal(
         # would re-run the whole gram-lane transform (2x gram hashing)
         F.posexplode_outer(gram_lanes).alias("pos", "gl"),
     ).where(F.col("gl").isNotNull())
+    if materialize_grams:
+        # grams feed TWO subtrees (the duplicate-detection aggregate and
+        # the occurrence join), and their exchanges differ, so AQE cannot
+        # reuse one for the other — without this persist the per-gram
+        # xxhash staging runs twice.  Same trade as ngram_jaccard's
+        # materialize_shingles: at 10^12 docs this is a materialized
+        # gram-index table, not an executor cache.
+        from pyspark.storagelevel import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         grams.groupBy("gl")
         .agg(F.count(F.lit(1)).alias("occ"))

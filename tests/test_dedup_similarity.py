@@ -733,3 +733,16 @@ def test_simhash_vectorized_kernel_equals_column_fold(spark):
     k2 = {r.doc_id: r.sim for r in staged.select(
         "doc_id", simhash_vectorized()(F.col("h"), F.col("n")).alias("sim")).collect()}
     assert k2 == f2
+
+
+def test_span_removal_materialized_grams_same_result(spark, dup_docs):
+    """materialize_grams persists the gram table for its two consumers;
+    results must be identical to the default single-derivation plan."""
+    from layout_parser_spark.operators.dedup import duplicated_span_removal
+
+    base = {r.id: (r.clean_text, r.n_kept, r.n_removed)
+            for r in duplicated_span_removal(dup_docs, n=3).collect()}
+    mat = {r.id: (r.clean_text, r.n_kept, r.n_removed)
+           for r in duplicated_span_removal(
+               dup_docs, n=3, materialize_grams=True).collect()}
+    assert mat == base
