@@ -102,3 +102,43 @@ def test_stream_incremental_exactly_once(spark, tmp_path):
         r.text for r in docs.where(F.col("doc_id") < 150).collect()
     )
     assert got == want
+
+
+def test_warc_input_through_cli(spark, tmp_path):
+    """--input-format warc through the real CLI: .warc.gz segments →
+    pages → extraction with manifest resume, byte-identical output."""
+    from layout_parser_spark.sources import render_page_html
+    from layout_parser_spark.sources.warc import write_warc_file
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).where("doc_id < 50").collect()
+    d = tmp_path / "warc"
+    d.mkdir()
+    recs = [
+        {"url": f"https://w{r.doc_id % 7}.example.com/d/{r.doc_id}",
+         "date": "2024-02-01T00:00:00Z",
+         "html": render_page_html(r.doc_id, r.text).encode("utf-8"),
+         "text": r.text}
+        for r in docs
+    ]
+    (d / "seg-0.warc.gz").write_bytes(
+        write_warc_file(recs[:25], gzip_members=True))
+    (d / "seg-1.warc.gz").write_bytes(
+        write_warc_file(recs[25:], gzip_members=True))
+
+    out = str(tmp_path / "out")
+    r = _run(["--input", str(d) + "/*.warc.gz", "--input-format", "warc",
+              "--output", out, "--buckets", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "processed=2" in r.stdout
+    got = sorted(
+        row.extracted_text
+        for row in spark.read.parquet(f"{out}/bucket=*").collect()
+    )
+    assert got == sorted(r2["text"] for r2 in recs)
+    # exact resume over the warc source too
+    r2 = _run(["--input", str(d) + "/*.warc.gz", "--input-format", "warc",
+               "--output", out, "--buckets", "2"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "processed=0" in r2.stdout
