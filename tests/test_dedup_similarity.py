@@ -746,3 +746,44 @@ def test_span_removal_materialized_grams_same_result(spark, dup_docs):
            for r in duplicated_span_removal(
                dup_docs, n=3, materialize_grams=True).collect()}
     assert mat == base
+
+
+def test_simhash_kernel_property_random_arrays(spark):
+    """Hypothesis sweep: the Arrow simhash kernel equals the Column fold
+    on arbitrary 60-bit hash arrays and token counts (incl. counts that
+    disagree with the array length, the contract's general case)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from layout_parser_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_from_hashes,
+        simhash_vectorized,
+    )
+
+    lane = st.integers(min_value=0, max_value=(1 << SIMHASH_BITS) - 1)
+    row = st.tuples(
+        st.lists(lane, min_size=0, max_size=40),
+        st.integers(min_value=0, max_value=60),
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(row, min_size=1, max_size=30))
+    def check(rows):
+        df = spark.createDataFrame(
+            [(i, h, n) for i, (h, n) in enumerate(rows)],
+            "id long, h array<long>, n long",
+        )
+        fold = {r.id: r.s for r in df.select(
+            "id", simhash_from_hashes(F.col("h"), F.col("n")).alias("s")
+        ).collect()}
+        kern = {r.id: r.s for r in df.select(
+            "id", simhash_vectorized()(F.col("h"), F.col("n")).alias("s")
+        ).collect()}
+        assert kern == fold
+
+    check()
