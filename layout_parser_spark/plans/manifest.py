@@ -8,7 +8,11 @@ the engine provides plain-DataFrame bookkeeping:
   the same hash family as the Iceberg ``bucket(N, url)`` table layout, so
   a bucket is a stable, partition-pruned unit of work;
 * each completed bucket writes one MANIFEST row ``(bucket_id, run_id,
-  doc_count, byte_count, status)`` next to its output;
+  doc_count, byte_count, status, n_input_files, input_files_digest)``
+  next to its output — the file digest is the bucket's INPUT LINEAGE
+  (md5 of the sorted backing-file list from ``DataFrame.inputFiles()``,
+  a file-index listing, not a Spark job), so an audit can prove which
+  snapshot of the source produced each committed bucket;
 * a resumed run anti-joins the bucket list against the manifest and only
   processes pending buckets.
 
@@ -20,6 +24,7 @@ the manifest.
 
 from __future__ import annotations
 
+import hashlib as _hashlib
 import os
 from typing import Callable, List, Optional
 
@@ -28,7 +33,7 @@ from pyspark.sql import functions as F
 
 MANIFEST_SCHEMA = (
     "bucket_id int, run_id string, doc_count long, byte_count long, "
-    "status string"
+    "status string, n_input_files long, input_files_digest string"
 )
 
 
@@ -105,7 +110,19 @@ def run_with_manifest(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum(F.length(text_col)), F.lit(0)).alias("b"),
         ).collect()[0]
-        row = [(b, run_id, int(stats.n), int(stats.b), "done")]
+        files = sorted(part.inputFiles())
+        fdigest = _hashlib.md5("\n".join(files).encode()).hexdigest()
+        row = [
+            (
+                b,
+                run_id,
+                int(stats.n),
+                int(stats.b),
+                "done",
+                len(files),
+                fdigest,
+            )
+        ]
         spark.createDataFrame(row, MANIFEST_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(_manifest_dir(out_root))

@@ -50,6 +50,13 @@ def test_manifest_resume(spark, pages, tmp_path):
     m = read_manifest(spark, out_root)
     stats = m.agg(F.sum("doc_count"), F.sum("byte_count")).collect()[0]
     assert stats[0] == 80 and stats[1] > 0
+    # input lineage: every bucket of the same source records the same
+    # backing-file digest (here: the documents parquet the pages derive
+    # from), and the digest is a real md5 hex string
+    lin = m.select("n_input_files", "input_files_digest").distinct().collect()
+    assert len(lin) == 1
+    assert lin[0].n_input_files >= 1
+    assert len(lin[0].input_files_digest) == 32
     # all output rows present exactly once
     got = spark.read.parquet(out_root + "/bucket=*")
     assert got.count() == 80
