@@ -1023,6 +1023,124 @@ FROM per GROUP BY doc_id
 """
 
 
+def q_gcv_symbols(spark, sf: str) -> DataFrame:
+    """§2.7 GCV SYMBOL-level E2E (verdict-r4 item 6): synthesize a full
+    ``fullTextAnnotation`` hierarchy per document (1 page → 2 blocks → 1
+    paragraph each → ≤3 words each → per-CHARACTER symbols, with a SPACE
+    detectedBreak on each word's last symbol and ``confidence`` = the
+    symbol's in-word index), serialize with ``to_json``, parse back,
+    flatten through ``gcv_symbol_tokens`` (the 5-level posexplode
+    cascade + per-doc reading-order ``pos``), and drive BOTH consumers:
+    ``gather_full_text`` (the ''-join at symbol level, gcv_agent.py:
+    239-243) and symbol-table aggregates.  The DuckDB oracle derives
+    everything arithmetically from the RAW text, so a green row
+    certifies synth→JSON→parse→5-level-explode→pos-window→''-join
+    against ground truth."""
+    from layout_parser_spark.operators.ocr_agg import gather_full_text
+    from layout_parser_spark.sources.gcv import (
+        gcv_symbol_tokens,
+        parse_gcv_responses,
+        serialize_gcv_responses,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.slice(F.split(F.col("text"), " "), 1, 6),
+        lambda w: F.length(w) > 0,
+    )
+    d = docs.select("doc_id", toks.alias("toks"))
+
+    def _symbol(w):
+        # 2-arg HOF lambda: second parameter IS the element index
+        def sym(ch, i):
+            return F.struct(
+                F.when(
+                    i == F.length(w) - 1,
+                    F.struct(
+                        F.struct(F.lit("SPACE").alias("type")).alias(
+                            "detectedBreak"
+                        )
+                    ),
+                ).alias("property"),
+                ch.alias("text"),
+                i.cast("double").alias("confidence"),
+            )
+
+        return sym
+
+    def _word(w):
+        return F.struct(
+            F.transform(F.split(w, ""), _symbol(w)).alias("symbols")
+        )
+
+    def _block(b):
+        ws = F.slice(F.col("toks"), b * 3 + 1, 3)
+        return F.struct(
+            F.array(
+                F.struct(F.transform(ws, _word).alias("words"))
+            ).alias("paragraphs")
+        )
+
+    page = F.struct(F.array(_block(0), _block(1)).alias("blocks"))
+    resp = F.struct(
+        F.struct(F.array(page).alias("pages")).alias("fullTextAnnotation")
+    )
+    js = serialize_gcv_responses(
+        d.select("doc_id", resp.alias("gcv")), parsed_col="gcv"
+    ).select("doc_id", "response_json")
+    parsed = parse_gcv_responses(js, json_col="response_json")
+    sy = gcv_symbol_tokens(parsed, ["doc_id"])
+    ft = gather_full_text(
+        sy, ["doc_id"], ["pi", "bi", "qi", "wi"]
+    ).withColumnRenamed("text", "full_text")
+    stats = sy.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sym"),
+        F.sum(F.pmod(F.col("pos"), F.lit(97))).cast("long").alias(
+            "sum_posmod"
+        ),
+        F.sum("confidence").cast("long").alias("sum_si"),
+        F.sum(
+            F.when(F.col("break_type") == "SPACE", 1).otherwise(0)
+        ).cast("long").alias("n_breaks"),
+        F.max(F.when(F.col("pos") == 0, F.col("text"))).alias("first_sym"),
+        F.max_by("text", "pos").alias("last_sym"),
+    )
+    return stats.join(ft, "doc_id")
+
+
+# ground truth from the RAW text: symbols are the characters of the
+# first ≤6 non-empty tokens; pos enumerates them per doc in token/char
+# order, so SUM(pos % 97) has the closed form q·4656 + r(r−1)/2 with
+# q = n_sym // 97, r = n_sym % 97; per-word confidence sums are the
+# triangular numbers of the token lengths; the ''/' ' join cascade
+# reconstructs exactly the tokens re-joined by single spaces.
+SQL_GCV_SYMBOLS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' ')[1:6], w -> len(w) > 0) AS toks
+  FROM documents
+), a AS (
+  SELECT doc_id, toks,
+         CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT)
+           AS n_sym,
+         CAST(list_sum(list_transform(
+               toks, w -> (len(w) * (len(w) - 1)) // 2)) AS BIGINT)
+           AS sum_si,
+         CAST(len(toks) AS BIGINT) AS n_breaks
+  FROM t
+)
+SELECT doc_id, n_sym,
+       CAST((n_sym // 97) * 4656
+            + ((n_sym % 97) * (n_sym % 97 - 1)) // 2 AS BIGINT)
+         AS sum_posmod,
+       sum_si, n_breaks,
+       substring(toks[1], 1, 1) AS first_sym,
+       substring(toks[-1], len(toks[-1]), 1) AS last_sym,
+       array_to_string(toks, ' ') AS full_text
+FROM a WHERE n_sym > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational core (§2.11 analogues)
 # ---------------------------------------------------------------------------
@@ -1334,20 +1452,35 @@ FROM scored GROUP BY doc_id
 
 def q_pack_sequences(spark, sf: str) -> DataFrame:
     """Trainer-feed staging: deterministic md5-lane train/val/test split
-    + greedy in-order sequence packing into 512-token bins per split
-    (one window cumsum, partitioned by the split)."""
+    + greedy in-order sequence packing into 512-token bins per
+    (split, shard) bucket — the packing window partitions on BOTH, so
+    no reducer ever sorts a whole split (1/3 of the corpus at 100 TB);
+    bin_id is bucket-local, which sharded trainer readers consume
+    directly.  The shard key is an md5 lane (not xxhash64) so the
+    DuckDB oracle derives the identical bucket per id."""
+    from layout_parser_spark.operators.dedup import md5_lane60
     from layout_parser_spark.operators.text_analysis import (
         hash_split,
         pack_sequences,
     )
 
-    d = _t(spark, sf, "documents").withColumn(
-        "split", hash_split(F.col("doc_id"))
+    d = (
+        _t(spark, sf, "documents")
+        .withColumn("part", hash_split(F.col("doc_id")))
+        .withColumn(
+            "shard",
+            F.pmod(
+                md5_lane60(
+                    F.concat(F.lit("shard-v1:"), F.col("doc_id").cast("string"))
+                ),
+                F.lit(8),
+            ),
+        )
     )
     return pack_sequences(
-        d, target_tokens=512, part_col="split"
+        d, target_tokens=512, part_col=["part", "shard"]
     ).select(
-        "id", "part", "n_tokens", "bin_id",
+        "id", "part", "shard", "n_tokens", "bin_id",
         F.col("bin_offset").cast("long").alias("bin_offset"),
     )
 
@@ -1362,17 +1495,19 @@ WITH base AS (
                  1, 15))::BIGINT % 100 < 99 THEN 'val'
            ELSE 'test'
          END AS part,
+         ('0x' || substr(md5('shard-v1:' || CAST(doc_id AS VARCHAR)),
+               1, 15))::BIGINT % 8 AS shard,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
   FROM documents
 ), cum AS (
-  SELECT id, part, n_tokens,
+  SELECT id, part, shard, n_tokens,
          COALESCE(SUM(n_tokens) OVER (
-           PARTITION BY part ORDER BY id
+           PARTITION BY part, shard ORDER BY id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
          ), 0) AS before
   FROM base
 )
-SELECT id, part, n_tokens,
+SELECT id, part, shard, n_tokens,
        CAST(before // 512 AS BIGINT) AS bin_id,
        CAST(before % 512 AS BIGINT) AS bin_offset
 FROM cum
@@ -2680,26 +2815,29 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks the FIRST 50 keys only
     # (CORRECTNESS_r03 confirmed the cap), so the front of this dict is
-    # the driver-coverage window.  Round-4 rotation: the 9 tail entries
-    # that silently fell out of the r3 window (zorder_key + the
-    # embedding/ANN family — two of which had never had a driver row)
-    # plus the new gcca_generic move to the front; 10 long-stable
-    # geometry/layout rows that were driver-green in r1-r3 AND are
-    # pinned by pytest rotate to the tail.
+    # the driver-coverage window.  Round-robin invariant (verdict-r4
+    # item 1): every query gets a fresh driver row at least every 2
+    # rounds.  Round-5 rotation: the 11 tail entries with no r4 row
+    # (geometry/layout family, gcv_fulltext, snapshot_diff, …) return
+    # to the front, joined by the NEW gcv_symbols and the re-sharded
+    # pack_sequences; 12 r4-green rows (ANN/embedding family,
+    # gcca_generic, corpus_filter_pipeline, geom_is_in_join,
+    # detect_lines, zorder_key) rotate to the pytest-pinned tail.
     return {
         "extract_main_text": q_extract_main_text,
-        "zorder_key": q_zorder_key,
-        "ann_pq": q_ann_pq,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "corpus_filter_pipeline": q_corpus_filter_pipeline,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_kmeans": q_ann_ivf_kmeans,
-        "gcca_generic": q_gcca_generic,
-        "geom_is_in_join": q_geom_is_in_join,
-        "detect_lines": q_detect_lines,
+        "gcv_symbols": q_gcv_symbols,
+        "pack_sequences": q_pack_sequences,
+        "snapshot_diff": q_snapshot_diff,
+        "geom_rect_algebra": q_geom_rect_algebra,
+        "geom_interval_ops": q_geom_interval_ops,
+        "geom_quad_shoelace": q_geom_quad_shoelace,
+        "geom_intersect_union": q_geom_intersect_union,
+        "layout_filter_sort_concat": q_layout_filter_sort_concat,
+        "layout_homogenize": q_layout_homogenize,
+        "group_by_category": q_group_by_category,
+        "set_ops_nations": q_set_ops_nations,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "gcv_fulltext": q_gcv_fulltext,
         "table_grid": q_table_grid,
         "asof_join": q_asof_join,
         "hypertable_rollup": q_hypertable_rollup,
@@ -2735,21 +2873,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "registered_domains": q_registered_domains,
         "docs_quality_model": q_docs_quality_model,
-        "pack_sequences": q_pack_sequences,
         "gcv_json_roundtrip": q_gcv_json_roundtrip,
         # --- tail (beyond the driver's 50-query window): driver-green
-        # in a prior round AND pinned by pytest golden/round-trip tests ---
-        "snapshot_diff": q_snapshot_diff,
-        "geom_rect_algebra": q_geom_rect_algebra,
-        "geom_interval_ops": q_geom_interval_ops,
-        "geom_quad_shoelace": q_geom_quad_shoelace,
-        "geom_intersect_union": q_geom_intersect_union,
-        "layout_filter_sort_concat": q_layout_filter_sort_concat,
-        "layout_homogenize": q_layout_homogenize,
-        "group_by_category": q_group_by_category,
-        "set_ops_nations": q_set_ops_nations,
-        "agg_pricing_summary": q_agg_pricing_summary,
-        "gcv_fulltext": q_gcv_fulltext,
+        # in ROUND 4 (CORRECTNESS_r04.json) AND pinned by the pytest
+        # contract sweep (tests/test_entry_contract.py runs every
+        # query, front or tail, against its DuckDB oracle) ---
+        "zorder_key": q_zorder_key,
+        "ann_pq": q_ann_pq,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "corpus_filter_pipeline": q_corpus_filter_pipeline,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "gcca_generic": q_gcca_generic,
+        "geom_is_in_join": q_geom_is_in_join,
+        "detect_lines": q_detect_lines,
     }
 
 
@@ -2774,6 +2914,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_gather_data": SQL_OCR_GATHER,
         "gcv_fulltext": SQL_GCV,
         "gcv_json_roundtrip": SQL_GCV_JSON,
+        "gcv_symbols": SQL_GCV_SYMBOLS,
         "agg_pricing_summary": SQL_Q1,
         "join_region_revenue": SQL_REGION_REV,
         "topk_events_per_user": SQL_TOPK,

@@ -624,13 +624,37 @@ pagerank_hosts = 3 fixed-point iterations over the host graph.
     print(json.dumps({n: b for n, _r, b, _t in rows}))
 
 
+#: (column name, plan-operator regex) for the PLANS_AUTO.md audit table —
+#: shared with tests/test_plan_lint.py, which re-counts every query's
+#: live plan and asserts it still matches the committed table.
+PLAN_SHAPE_PATTERNS = [
+    ("exchanges", r"Exchange"),
+    ("SMJ", r"SortMergeJoin"),
+    ("BHJ", r"BroadcastHashJoin"),
+    ("BNLJ", r"BroadcastNestedLoopJoin"),
+    ("cartesian", r"CartesianProduct"),
+    ("window", r"Window\b"),
+    (
+        "python stages",
+        r"(ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+        r"|PythonMapInArrow)",
+    ),
+]
+
+
+def plan_shape_counts(plan: str) -> tuple:
+    import re as _re
+
+    return tuple(
+        len(_re.findall(pat, plan)) for _, pat in PLAN_SHAPE_PATTERNS
+    )
+
+
 def plans_main():
     """--plans: regenerate BENCH/PLANS_AUTO.md — a physical-plan audit
     row for EVERY driver query at sf0.001 (exchange / join / window
     operator counts straight from the executed plan).  Fresh, mechanical
     evidence that the whole contract keeps its scale shapes."""
-    import re as _re
-
     import __spark_entry__ as entry
 
     spark = get_session(8)
@@ -638,19 +662,7 @@ def plans_main():
     rows = []
     for name, fn in sorted(entry.queries().items()):
         plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
-        count = lambda pat: len(_re.findall(pat, plan))  # noqa: E731
-        rows.append(
-            (
-                name,
-                count(r"Exchange"),
-                count(r"SortMergeJoin"),
-                count(r"BroadcastHashJoin"),
-                count(r"BroadcastNestedLoopJoin"),
-                count(r"CartesianProduct"),
-                count(r"Window\b"),
-                count(r"(ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|PythonMapInArrow)"),
-            )
-        )
+        rows.append((name, *plan_shape_counts(plan)))
     hdr = ("| query | exchanges | SMJ | BHJ | BNLJ | cartesian | window |"
            " python stages |")
     sep = "|---" * 8 + "|"
@@ -670,6 +682,22 @@ media decode) — everything else is JVM codegen.
 {hdr}
 {sep}
 {body}
+
+Generate-input audit (standing note, refreshed r5): every
+variable-length explode over a COMPUTED input uses the outer-generate
+form (posexplode_outer + post-generate null filter) so Catalyst's
+InferFiltersFromGenerate cannot clone the generator input into an
+inferred pre-filter (which re-evaluates from_json / regex / shingle
+transforms 2-3x per row — found on the gcv plans in r4).  Audited
+surfaces: the contract queries (incl. the new gcv_symbols 5-level
+posexplode_outer cascade), and the job-level pipelines (curate_corpus
+funnel, media pairing, range join, multimodal).  The remaining
+`size(split`/`size(regexp_extract_all` occurrences are legitimate
+token/PII-count features with zero Generate nodes;
+corpus_filter_pipeline recomputes its quality features once in the
+filter gate and once in the output projection — cross-operator CSE
+doesn't exist in codegen, accepted as ~2x on cheap array ops rather
+than forcing a shuffle barrier.
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS_AUTO.md", "w") as f:

@@ -18,9 +18,15 @@ Scale design notes (the point of each implementation):
 * SimHash — 60-bit sign-aggregated token hashes; hamming-adjacent
   bucketing by 4×15-bit chunks.
 
-All hashes derive from md5 lanes (``md5_lane60``) rather than xxhash64 so
-every operator has an exact ANSI-SQL twin (DuckDB hex-cast of the same md5
-prefix) — the driver's oracle can value-verify the whole family.
+Hash-lane policy: keys that must match the oracle BY VALUE derive from
+md5 lanes (``md5_lane60`` — DuckDB hex-casts the same md5 prefix), so
+the driver can value-verify them.  Two operators are deliberate
+exceptions: ``repeated_line_removal`` and ``duplicated_span_removal``
+use JVM-native ``F.xxhash64`` for their INTERNAL 8-byte shuffle keys
+(the md5 CPU measurably regressed them — BENCH/PLANS.md r4); their
+DuckDB oracles detect duplicates from the RAW segment/gram text
+instead, so a green row doubles as a collision-freeness certificate
+for the xxhash64 lane.
 
 Everything is columnar expressions + hash aggregates; Python appears in
 exactly one DESIGNED Arrow slot (the vectorized MinHash signature

@@ -186,9 +186,17 @@ def gcca_apply(
     (min/max corners) + member count.
 
     Output: key_cols + (comp_id, x_1, y_1, x_2, y_2, n_blocks)."""
+    # plan-build-time validation (a missing key_cols name would silently
+    # drop from the schema string and fail as an opaque Arrow mismatch)
+    fields = {f.name: f for f in df.schema}
+    missing = [c for c in key_cols if c not in fields]
+    if missing:
+        raise ValueError(
+            f"gcca_apply: key_cols {missing} not in input schema "
+            f"(have: {sorted(fields)})"
+        )
     ktypes = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema if f.name in key_cols
+        f"{c} {fields[c].dataType.simpleString()}" for c in key_cols
     )
     schema = (
         f"{ktypes}, comp_id int, x_1 double, y_1 double, "

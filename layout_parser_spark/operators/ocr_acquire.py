@@ -120,9 +120,18 @@ def tesseract_acquire(
         languages if isinstance(languages, str) else "+".join(languages)
     )
     argv = [cmd, "stdin", "stdout", "-l", lang, *extra_args, "tsv"]
+    # plan-build-time validation: a doc_cols name missing from the input
+    # would otherwise be silently dropped from the mapInPandas schema and
+    # only surface as an opaque Arrow column-count mismatch at task time
+    fields = {f.name: f for f in pages.schema}
+    missing = [c for c in doc_cols if c not in fields]
+    if missing:
+        raise ValueError(
+            f"tesseract_acquire: doc_cols {missing} not in input schema "
+            f"(have: {sorted(fields)})"
+        )
     key_types = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in pages.schema if f.name in set(doc_cols)
+        f"{c} {fields[c].dataType.simpleString()}" for c in doc_cols
     )
     schema = (
         f"{key_types}, "

@@ -339,21 +339,34 @@ def pack_sequences(
 
     Returns (id, n_tokens, bin_id, bin_offset).
 
-    Scale shape: ONE window cumsum.  Partition the window by a real
-    partition column (``part_col`` — e.g. the hash_split bucket or a
-    date) so no single ordering spans the corpus: packing is per-group,
-    which is exactly what a sharded trainer wants anyway.  With
+    Scale shape: ONE window cumsum.  Partition the window by real
+    partition columns (``part_col`` — a name or a SEQUENCE of names)
+    so no single ordering spans the corpus: packing is per-group, which
+    is exactly what a sharded trainer wants anyway.  A low-cardinality
+    column alone (e.g. the 3-value train/val/test split) still makes
+    one reducer sort ~1/3 of the corpus at 100 TB — compose it with a
+    shard key, e.g. ``["split", "shard"]`` where ``shard =
+    pmod(xxhash64(id), K)``; bin_id is then bucket-local, which
+    trainers (who shard their readers anyway) consume directly.  With
     ``part_col=None`` the window is global — fine for tests, WARNED
     against at scale."""
     from pyspark.sql import Window
 
+    if part_col is None:
+        parts = []
+    elif isinstance(part_col, str):
+        # single name keeps the historical output alias "part"
+        parts = [(part_col, "part")]
+    else:
+        parts = [(c, c) for c in part_col]
     n = F.size(tokens(F.col(text_col)))
     base = df.select(
         F.col(id_col).alias("id"), n.cast("long").alias("n_tokens"),
-        *([F.col(part_col).alias("part")] if part_col else []),
+        *[F.col(src).alias(dst) for src, dst in parts],
     )
     w = (
-        Window.partitionBy("part") if part_col else Window.partitionBy()
+        Window.partitionBy(*[dst for _, dst in parts])
+        if parts else Window.partitionBy()
     ).orderBy("id")
     before = F.coalesce(
         F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
@@ -361,7 +374,7 @@ def pack_sequences(
     )
     return base.select(
         "id",
-        *(["part"] if part_col else []),
+        *[dst for _, dst in parts],
         "n_tokens",
         ((before - before % target_tokens) / target_tokens)
         .cast("long")

@@ -9,10 +9,13 @@ the engine provides plain-DataFrame bookkeeping:
   a bucket is a stable, partition-pruned unit of work;
 * each completed bucket writes one MANIFEST row ``(bucket_id, run_id,
   doc_count, byte_count, status, n_input_files, input_files_digest)``
-  next to its output — the file digest is the bucket's INPUT LINEAGE
-  (md5 of the sorted backing-file list from ``DataFrame.inputFiles()``,
-  a file-index listing, not a Spark job), so an audit can prove which
-  snapshot of the source produced each committed bucket;
+  next to its output — the file digest records the SOURCE SNAPSHOT
+  backing the run (md5 of the sorted backing-file list from
+  ``DataFrame.inputFiles()``, a file-index listing, not a Spark job;
+  ``inputFiles()`` reflects the whole relation, not the bucket filter,
+  so it is computed once per run and stamped on every bucket row), so
+  an audit can prove which snapshot of the source each committed
+  bucket was produced from;
 * a resumed run anti-joins the bucket list against the manifest and only
   processes pending buckets.
 
@@ -100,6 +103,12 @@ def run_with_manifest(
     withb = pages.withColumn(
         "_bucket", bucket_of(url_col, n_buckets, method=bucket_method)
     )
+    # source-snapshot lineage: inputFiles() returns the relation's full
+    # (unpruned) file listing whatever filter sits on top, so one digest
+    # per run is the honest granularity — every bucket row this run
+    # stamps the same snapshot it was read from.
+    files = sorted(pages.inputFiles())
+    fdigest = _hashlib.md5("\n".join(files).encode()).hexdigest()
     processed = []
     for b in pending:
         part = withb.where(F.col("_bucket") == b).drop("_bucket")
@@ -110,8 +119,6 @@ def run_with_manifest(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum(F.length(text_col)), F.lit(0)).alias("b"),
         ).collect()[0]
-        files = sorted(part.inputFiles())
-        fdigest = _hashlib.md5("\n".join(files).encode()).hexdigest()
         row = [
             (
                 b,

@@ -142,6 +142,7 @@ _LONG_FIELDS = {"id", "parent", "next"}
 
 
 _CONST_CACHE: dict = {}
+_CONST_CACHE_SC = None  # weakref to the SparkContext the cache serves
 
 
 def _const_field(name: str, v) -> Column:
@@ -152,13 +153,25 @@ def _const_field(name: str, v) -> Column:
     fresh build costs ~95 ms of driver time PER CONSTRUCTOR CALL — it
     dominated the contract geometry queries (BENCH/PLANS.md r4).
     Column objects wrap immutable JVM expressions, so the same
-    constant-field Column is safe to share across plans; the cache is
-    keyed on the active SparkContext so a JVM restart never serves
-    stale JavaObject refs."""
+    constant-field Column is safe to share across plans.
+
+    Cache-key hygiene: the key includes ``type(v).__name__`` because
+    python hashes ``True == 1 == 1.0`` identically while string-typed
+    fields coerce them to distinct literals ('true'/'1'/'1.0'); and the
+    cache is bound to the active SparkContext via a WEAK reference
+    compared by identity — a stopped-and-GC'd context can recycle
+    ``id()`` but can never compare ``is``-equal to a live one, so a JVM
+    restart always clears the cache instead of serving stale refs."""
+    import weakref
+
     from pyspark import SparkContext
 
+    global _CONST_CACHE_SC
     sc = SparkContext._active_spark_context
-    key = (id(sc), name, v)
+    if _CONST_CACHE_SC is None or _CONST_CACHE_SC() is not sc:
+        _CONST_CACHE.clear()
+        _CONST_CACHE_SC = weakref.ref(sc) if sc is not None else None
+    key = (name, type(v).__name__, v)
     col = _CONST_CACHE.get(key)
     if col is None:
         col = _coerce(v, name).alias(name)

