@@ -679,6 +679,12 @@ broadcast sides (see tests/test_plan_lint.py's allow-list).  Python
 stages are the designed Arrow slots (segmentation, perspective, XY-cut,
 media decode) — everything else is JVM codegen.
 
+Self-join counts are STATIC-plan counts: for the dedup self-joins
+(minhash_lsh, simhash_buckets) the two sides print the signature
+python stage twice, but at runtime AQE replaces one side with a
+ReusedExchange of the other (verified on the executed adaptive plan:
+ReusedExchange=1), so the signature kernel runs ONCE per input row.
+
 {hdr}
 {sep}
 {body}
