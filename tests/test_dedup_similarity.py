@@ -462,6 +462,38 @@ def test_hash_split_stability_and_packing(spark):
         run += r.n_tokens
 
 
+def test_pack_sequences_multi_part_sharding(spark):
+    """part_col accepts a SEQUENCE of names (the 100 TB shape: compose
+    the low-cardinality split with a shard key so no window reducer
+    sorts a whole split); packing is then independent per (part, shard)
+    group and equals the single-group packing of that group's docs."""
+    from pyspark.sql import functions as F
+
+    from layout_parser_spark.operators.text_analysis import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (i, "a" if i % 2 else "b", i % 3, " ".join(["tok"] * (2 + i % 5)))
+            for i in range(60)
+        ],
+        "doc_id long, grp string, shard long, text string",
+    )
+    out = pack_sequences(
+        docs, target_tokens=7, part_col=["grp", "shard"]
+    ).collect()
+    # multi-col mode keeps the original column names
+    assert {"grp", "shard"} <= set(out[0].asDict())
+    by_group = {}
+    for r in sorted(out, key=lambda r: r.id):
+        by_group.setdefault((r.grp, r.shard), []).append(r)
+    assert len(by_group) == 6
+    for rows in by_group.values():
+        run = 0
+        for r in rows:  # id-ascending within the group
+            assert r.bin_id == run // 7 and r.bin_offset == run % 7
+            run += r.n_tokens
+
+
 def test_pq_topk_recall_on_clustered_data(spark):
     """PQ + exact refinement equals brute force on clusterable vectors
     (recall-1 configuration); on pure-noise embeddings the lossy codes
