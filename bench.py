@@ -107,6 +107,8 @@ def main():
 
     from pyspark.sql import functions as F
 
+    with open("/proc/loadavg") as f:
+        load_start = f.read().split()[:2]
     spark = get_session(CPUS)
     pages_dir = ensure_pages(spark)
 
@@ -182,6 +184,11 @@ def main():
                 "extract_docs": n_docs,
                 "extract_bytes": n_bytes,
                 "cpus": CPUS,
+                # host-noise context: this VM shows bursty neighbor
+                # steal (BENCH/PLANS.md drift tables) — compare a slow
+                # round against these before suspecting a plan change
+                "loadavg_start": load_start,
+                "loadavg_end": open("/proc/loadavg").read().split()[:2],
             }
         )
     )
