@@ -1035,7 +1035,14 @@ def q_gcv_symbols(spark, sf: str) -> DataFrame:
     239-243) and symbol-table aggregates.  The DuckDB oracle derives
     everything arithmetically from the RAW text, so a green row
     certifies synth→JSON→parse→5-level-explode→pos-window→''-join
-    against ground truth."""
+    against ground truth.
+
+    Plan note: the symbol table feeds TWO consumers here (the ''-join
+    cascade and the stats aggregate), and their column pruning diverges
+    the exchanges, so the parse+explode subtree executes twice (no
+    ReusedExchange) — accepted for a certification query; a production
+    pipeline with multiple symbol-table consumers stages it once
+    (write/checkpoint between passes, the materialize_grams pattern)."""
     from layout_parser_spark.operators.ocr_agg import gather_full_text
     from layout_parser_spark.sources.gcv import (
         gcv_symbol_tokens,
