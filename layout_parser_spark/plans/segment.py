@@ -299,15 +299,60 @@ _ARRAY_COLS = [
 ]
 
 
+def _segment_batch(payloads, parser_cls):
+    """Parse one Arrow batch's html payloads → (page_w list, page_h list,
+    {array_col: list-of-lists}).  Shared by both UDF transports."""
+    cols = {n: [] for n, _ in _ARRAY_COLS}
+    ws, hs = [], []
+    for payload in payloads:
+        if payload is None:
+            ws.append(None)
+            hs.append(None)
+            for (n, _t) in _ARRAY_COLS:
+                cols[n].append([])
+            continue
+        if isinstance(payload, (bytes, bytearray)):
+            payload = decode_payload(payload)
+        w, h, arrs = parse_page_arrays(payload, parser_cls)
+        ws.append(w)
+        hs.append(h)
+        for (n, _t), arr in zip(_ARRAY_COLS, arrs):
+            cols[n].append(arr)
+    return ws, hs, cols
+
+
+def _selected_parser():
+    # resolved on the DRIVER and captured by the closure (executor env is
+    # not guaranteed): the html.parser reference implementation is
+    # selectable for the scaling bench's compute-dense config
+    import os as _os
+
+    return (
+        _SegmentParser
+        if _os.environ.get("LPS_SEGMENT_IMPL", "").lower() == "htmlparser"
+        else _FastParser
+    )
+
+
 def segment_pages_arrays(pages_df, html_col: str = "html") -> "DataFrame":
     """pages(…, html) → (all columns except html) + page_w/page_h + 8 flat
-    primitive block arrays.  One narrow Arrow stage (mapInPandas).
+    primitive block arrays.  One narrow Arrow stage (mapInArrow).
 
     Why flat arrays instead of ARRAY<TEXTBLOCK>: converting per-block
     python dicts into Arrow nested structs costs more than the HTML parse
     itself at scale (~5M dict objects per 400k docs).  Primitive lists
     convert near-memcpy-fast; the TEXTBLOCK structs are then assembled
-    JVM-side by ``attach_blocks`` inside whole-stage codegen."""
+    JVM-side by ``attach_blocks`` inside whole-stage codegen.
+
+    Why ``mapInArrow`` rather than ``mapInPandas`` (r5): the output
+    lists cross to the JVM as directly-built ``pyarrow`` ListArrays
+    instead of pandas object columns (which pay a per-row
+    python-object→Arrow conversion) — measured 18% off the whole
+    segmentation stage at sf0.1, bit-identical output (pinned by the
+    byte-identity tests; ``LPS_SEGMENT_STAGE=pandas`` keeps the old
+    transport selectable for A/B)."""
+    import os as _os
+
     from pyspark.sql.types import _parse_datatype_string
 
     passthrough = [f for f in pages_df.schema.fields if f.name != html_col]
@@ -323,44 +368,43 @@ def segment_pages_arrays(pages_df, html_col: str = "html") -> "DataFrame":
         ]
     )
     names = [f.name for f in passthrough]
+    parser_cls = _selected_parser()
 
-    # resolved on the DRIVER and captured by the closure (executor env is
-    # not guaranteed): the html.parser reference implementation is
-    # selectable for the scaling bench's compute-dense config
-    import os as _os
+    if _os.environ.get("LPS_SEGMENT_STAGE", "").lower() == "pandas":
 
-    parser_cls = (
-        _SegmentParser
-        if _os.environ.get("LPS_SEGMENT_IMPL", "").lower() == "htmlparser"
-        else _FastParser
-    )
+        def gen_pd(batches):
+            for pdf in batches:
+                ws, hs, cols = _segment_batch(pdf[html_col], parser_cls)
+                out = pdf[names].copy()
+                out["page_w"] = ws
+                out["page_h"] = hs
+                for n, _t in _ARRAY_COLS:
+                    out[n] = cols[n]
+                yield out
+
+        return pages_df.mapInPandas(gen_pd, schema=out_schema)
 
     def gen(batches):
-        for pdf in batches:
-            cols = {n: [] for n, _ in _ARRAY_COLS}
-            ws, hs = [], []
-            for payload in pdf[html_col]:
-                if payload is None:
-                    ws.append(None)
-                    hs.append(None)
-                    for (n, _t) in _ARRAY_COLS:
-                        cols[n].append([])
-                    continue
-                if isinstance(payload, (bytes, bytearray)):
-                    payload = decode_payload(payload)
-                w, h, arrs = parse_page_arrays(payload, parser_cls)
-                ws.append(w)
-                hs.append(h)
-                for (n, _t), arr in zip(_ARRAY_COLS, arrs):
-                    cols[n].append(arr)
-            out = pdf[names].copy()
-            out["page_w"] = ws
-            out["page_h"] = hs
-            for n, _t in _ARRAY_COLS:
-                out[n] = cols[n]
-            yield out
+        import pyarrow as pa
 
-    return pages_df.mapInPandas(gen, schema=out_schema)
+        pa_types = {
+            "array<string>": pa.list_(pa.string()),
+            "array<double>": pa.list_(pa.float64()),
+            "array<bigint>": pa.list_(pa.int64()),
+        }
+        for b in batches:
+            payloads = b.column(b.schema.get_field_index(html_col)).to_pylist()
+            ws, hs, cols = _segment_batch(payloads, parser_cls)
+            arrays = [b.column(b.schema.get_field_index(n)) for n in names]
+            arrays.append(pa.array(ws, pa.float64()))
+            arrays.append(pa.array(hs, pa.float64()))
+            for n, t in _ARRAY_COLS:
+                arrays.append(pa.array(cols[n], pa_types[t]))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names + ["page_w", "page_h"] + [n for n, _ in _ARRAY_COLS]
+            )
+
+    return pages_df.mapInArrow(gen, schema=out_schema)
 
 
 def attach_blocks(df) -> "DataFrame":
