@@ -149,25 +149,28 @@ def main():
         "geom_is_in_join",
         "media_phash_pairs",
     ]
-    # best-of-2 per query: the sandbox VM shows noisy-neighbor CPU steal
-    # (single runs swing 2×) — the min is the least-contended estimate of
-    # the plan's own cost (same protocol as --scaling, documented in
-    # BENCH/BASELINE.md).  NB queries that persist an intermediate
-    # (dedup_ngram_jaccard's shingle index) report the warm-index run —
-    # Spark's CacheManager matches the second build by canonicalized plan,
-    # which is exactly the production two-pass shape
+    # one untimed warm pass, then best-of-2 timed, per query (same
+    # "warm-up passes then best-of-N" protocol as --scaling, documented
+    # in BENCH/BASELINE.md): the first execution of a plan pays one-off
+    # whole-stage-codegen compile + JIT (measured 5.0 s first run vs
+    # 0.98 s steady for geom_rect_algebra, BENCH/PLANS.md r5), and the
+    # sandbox VM adds noisy-neighbor steal on top (single runs swing
+    # 2×) — min-of-2 over a warm plan is the least-contended estimate
+    # of the plan's own steady cost.  NB queries that persist an
+    # intermediate (dedup_ngram_jaccard's shingle index) report the
+    # warm-index run — Spark's CacheManager matches the later builds by
+    # canonicalized plan, which is exactly the production two-pass shape
     for name in headline:
         fn = qs[name]
+
+        def run_once():
+            fn(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        run_once()  # warm: codegen compile + JIT + python workers
         results[name] = round(
-            min(
-                timed(
-                    lambda: fn(spark, SF_DIR)
-                    .write.format("noop")
-                    .mode("overwrite")
-                    .save()
-                )
-                for _ in range(2)
-            ),
+            min(timed(run_once) for _ in range(2)),
             3,
         )
 
