@@ -184,7 +184,15 @@ _H_RE = _attr_re("data-h")
 
 
 def _attr_val(m) -> str:
-    return next(g for g in m.groups() if g is not None)
+    # first non-None of the 3 alternation groups; explicit is-None tests
+    # (not `or`) so an EMPTY quoted value ("") is returned, and no
+    # generator frame on this hot path
+    a, b, c = m.groups()
+    if a is not None:
+        return a
+    if b is not None:
+        return b
+    return c
 _STRUCTURAL = frozenset(
     (
         "p", "div", "header", "footer", "nav", "aside", "figure",
@@ -217,25 +225,41 @@ class _FastParser:
             self._stack.pop()
 
     def feed(self, html: str) -> None:
+        # Hot loop (the whole-corpus CPU bottleneck — BENCH/PLANS.md r5):
+        # instance/state lookups are hoisted into locals, the three match
+        # groups come from ONE .groups() call, and _endtag is inlined at
+        # both call sites; semantics are byte-identical to the method
+        # form (pinned by the engine==HTMLParser-oracle parity tests).
         from html import unescape
 
         if "<!--" in html:  # comments are not tags; drop them up front
             html = _re.sub(r"<!--.*?-->", "", html, flags=_re.S)
         pos = 0
+        stack = self._stack
+        blocks = self.blocks
+        a_depth = self._a_depth
+        structural = _STRUCTURAL
+        tag_type = TAG_TYPE
+        box_search = _BOX_RE.search
         for m in _TAG_RE.finditer(html):
-            if m.start() > pos:
-                text = html[pos : m.start()]
-                if self._stack and text:
-                    if "&" in text:
-                        text = unescape(text)
-                    blk = self.blocks[self._stack[-1]]
-                    blk.chunks.append(text)
-                    if self._a_depth > 0:
-                        blk.link_chars += len(text)
+            start = m.start()
+            if start > pos and stack:  # html[pos:start] is non-empty
+                text = html[pos:start]
+                if "&" in text:
+                    text = unescape(text)
+                blk = blocks[stack[-1]]
+                blk.chunks.append(text)
+                if a_depth > 0:
+                    blk.link_chars += len(text)
             pos = m.end()
-            closing, tag, attrs = m.group(1), m.group(2).lower(), m.group(3)
+            closing, tag, attrs = m.groups()
+            tag = tag.lower()
             if closing:
-                self._endtag(tag)
+                if tag == "a":  # == _endtag, on the hoisted locals
+                    if a_depth > 0:
+                        a_depth -= 1
+                elif stack and tag in structural:
+                    stack.pop()
                 continue
             if tag == "html":
                 w = _W_RE.search(attrs)
@@ -244,19 +268,24 @@ class _FastParser:
                 self.page_h = float(_attr_val(h)) if h else 0.0
                 continue
             if tag == "a":
-                self._a_depth += 1
-            box = _BOX_RE.search(attrs)
+                a_depth += 1
+            box = box_search(attrs)
             if box is not None:
-                coords = tuple(float(v) for v in _attr_val(box).split(","))
-                parent = self._stack[-1] if self._stack else None
+                coords = tuple(map(float, _attr_val(box).split(",")))
+                parent = stack[-1] if stack else None
                 blk = _Block(
-                    coords, TAG_TYPE.get(tag, "Text"), parent, len(self.blocks)
+                    coords, tag_type.get(tag, "Text"), parent, len(blocks)
                 )
-                self.blocks.append(blk)
-                self._stack.append(blk.order)
+                blocks.append(blk)
+                stack.append(blk.order)
             # self-closing: HTMLParser fires starttag then endtag
             if attrs.rstrip().endswith("/"):
-                self._endtag(tag)
+                if tag == "a":  # == _endtag, on the hoisted locals
+                    if a_depth > 0:
+                        a_depth -= 1
+                elif stack and tag in structural:
+                    stack.pop()
+        self._a_depth = a_depth
 
 
 def parse_page_arrays(html: str, parser_cls=None):
