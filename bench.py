@@ -333,8 +333,28 @@ scale-up does not apply.
     # their load context instead, and the run is retried later.
     have_accepted = os.path.exists("BENCH/BASELINE.md")
     if eff >= 0.8 or not have_accepted:
-        with open("BENCH/BASELINE.md", "w") as f:
-            f.write(md)
+        if core_pair == (8, 32) or not have_accepted:
+            # Preserve everything after the first "---" rule (second
+            # evidence pairs, analysis notes) across headline rewrites.
+            appendix = ""
+            if have_accepted:
+                with open("BENCH/BASELINE.md") as f:
+                    old = f.read()
+                i = old.find("\n---\n")
+                if i != -1:
+                    appendix = old[i:]
+            with open("BENCH/BASELINE.md", "w") as f:
+                f.write(md + appendix)
+        else:
+            # A non-default core pair is SECOND evidence for the same
+            # N->4N rule (both widths <= half the box, so the host's
+            # all-core turbo/bandwidth ceiling affects both sides
+            # equally) — append it, keep the 8/32 headline run.
+            with open("BENCH/BASELINE.md", "a") as f:
+                f.write(
+                    f"\n---\n\n## Second accepted evidence pair"
+                    f" (local[{lo}] vs local[{hi}], eff {eff:.3f})\n\n{md}\n"
+                )
     else:
         with open("BENCH/SCALING_ATTEMPTS.md", "a") as f:
             f.write(
