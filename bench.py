@@ -267,6 +267,13 @@ def scaling_child(cores: int):
     )
 
 
+def baseline_appendix(old_text: str) -> str:
+    """Everything from the first horizontal rule onward (second evidence
+    pairs, analysis notes) — preserved across headline 8/32 rewrites."""
+    i = old_text.find("\n---\n")
+    return old_text[i:] if i != -1 else ""
+
+
 def scaling_main():
     out = {}
     all_runs = {}
@@ -339,10 +346,7 @@ scale-up does not apply.
             appendix = ""
             if have_accepted:
                 with open("BENCH/BASELINE.md") as f:
-                    old = f.read()
-                i = old.find("\n---\n")
-                if i != -1:
-                    appendix = old[i:]
+                    appendix = baseline_appendix(f.read())
             with open("BENCH/BASELINE.md", "w") as f:
                 f.write(md + appendix)
         else:

@@ -112,3 +112,22 @@ def test_plan_shapes_match_committed_audit(spark):
         f"plan shapes drifted from BENCH/PLANS_AUTO.md: {drift} — if "
         "intentional, regenerate with `python bench.py --plans`"
     )
+
+
+def test_baseline_appendix_preserved_on_headline_rewrite():
+    """An accepted 8/32 headline rewrite must keep second-evidence pairs
+    and analysis sections (everything from the first '---' rule)."""
+    from bench import baseline_appendix
+
+    old = (
+        "# headline run\n\ntable...\n\n---\n\n"
+        "## Second accepted evidence pair (local[4] vs local[16])\n\n"
+        "numbers\n\n---\n\n## Why two core pairs\n\nanalysis\n"
+    )
+    kept = baseline_appendix(old)
+    assert kept.startswith("\n---\n")
+    assert "Second accepted evidence pair" in kept
+    assert "Why two core pairs" in kept
+    assert "# headline run" not in kept
+    # a headline-only file has nothing to preserve
+    assert baseline_appendix("# headline run\n\ntable...\n") == ""
