@@ -188,13 +188,49 @@ def main():
                 "extract_bytes": n_bytes,
                 "cpus": CPUS,
                 # host-noise context: this VM shows bursty neighbor
-                # steal (BENCH/PLANS.md drift tables) — compare a slow
-                # round against these before suspecting a plan change
+                # steal AND a width-dependent effective-clock envelope
+                # (BENCH/PLANS.md drift + triage tables) — compare a
+                # slow round against these before suspecting a plan
+                # change.  The canary is the fixed 1-core segmentation
+                # kernel benchmark (documented envelope ~2.7k-5.7k
+                # docs/s across windows); a slow suite WITH a fast
+                # canary means the all-core clock was capped, not that
+                # the engine changed.
                 "loadavg_start": load_start,
                 "loadavg_end": open("/proc/loadavg").read().split()[:2],
+                "window_canary_1core_docs_per_sec": parse_canary_1core(),
             }
         )
     )
+
+
+def parse_canary_1core(n_docs: int = 500, reps: int = 3) -> float:
+    """Best-of-``reps`` single-core throughput of the raw segmentation
+    kernel on a deterministic synthetic corpus — a window-quality probe
+    (no Spark, no threads).  Same recipe as the triage canary in
+    BENCH/PLANS.md r5."""
+    import random
+
+    from layout_parser_spark.plans.segment import parse_page_arrays
+    from layout_parser_spark.sources.pages import render_page_html
+
+    rng = random.Random(7)
+    words = "the quick brown fox jumps over lazy dog spark arrow batch".split()
+    docs = [
+        render_page_html(
+            i, " ".join(rng.choices(words, k=rng.randint(80, 400)))
+        )
+        for i in range(n_docs)
+    ]
+    for d in docs:  # warm
+        parse_page_arrays(d)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for d in docs:
+            parse_page_arrays(d)
+        best = max(best, n_docs / (time.perf_counter() - t0))
+    return round(best, 1)
 
 
 def _tree_cpu_seconds() -> float:
