@@ -64,8 +64,57 @@ from layout_parser_spark.plans import extract_main_text
 from layout_parser_spark.sources import synth_pages
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+#: input-layout memo: path -> parquet row-group count (planning metadata
+#: only — never query results; see _spread)
+_RG_COUNTS: dict = {}
+
+
+def _row_groups(path: str) -> int:
+    """Total parquet row groups under ``path`` (file or directory) — the
+    hard upper bound on scan parallelism (parquet splits only at
+    row-group boundaries).  Local-FS footer reads, memoized; returns a
+    large number on any failure so _spread becomes a no-op."""
+    if path not in _RG_COUNTS:
+        try:
+            import pyarrow.dataset as ds
+
+            _RG_COUNTS[path] = sum(
+                f.metadata.num_row_groups
+                for f in ds.dataset(path.removeprefix("file:")).get_fragments()
+            )
+        except Exception:
+            _RG_COUNTS[path] = 1 << 30
+    return _RG_COUNTS[path]
+
+
+def _spread(df: DataFrame, path: str) -> DataFrame:
+    """Scan-parallelism guard (guide §2.5, 'input skew: one huge
+    unsplittable file ... repartition immediately after the read').
+
+    Parquet can only split at row-group boundaries, and the test
+    fixtures are written as 1-6 row-group files — so without this the
+    SCAN stage, where the expensive per-row map work of most queries
+    lives (tokenize/shingle/hash/geometry arithmetic), runs on 1-6 of
+    the session's cores regardless of data volume.  When the input
+    layout under-fills the session (row groups < half the cores), one
+    round-robin repartition to ``defaultParallelism`` spreads it; on a
+    production layout (row groups >= cores — e.g. any well-compacted
+    100 TB table) this is a NO-OP, so the exchange never appears at
+    scale.  Decision is derived from the input (footer metadata), not a
+    tuned constant."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if 2 * _row_groups(path) >= target:
+        return df
+    return df.repartition(target)
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    return _spread(df, path) if spread else df
 
 
 # ---------------------------------------------------------------------------
@@ -412,7 +461,7 @@ def q_layout_homogenize(spark, sf: str) -> DataFrame:
     """§2.4 get_homogeneous_blocks: per-document mixed [interval, rect]
     layouts cast up to the max lattice type (rectangle here — intervals
     promote to their canvas coordinates)."""
-    od = _t(spark, sf, "orders")
+    od = _t(spark, sf, "orders", spread=True)
     start = F.col("o_totalprice") / 1000.0
     axis = F.when(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0, "x").otherwise(
         "y"
@@ -848,7 +897,7 @@ def q_ocr_gather_data(spark, sf: str) -> DataFrame:
     orders and engines — a raw double conf hit a round-to-4dp boundary
     at sf0.1 (56.20875 summed in different orders → .2087 vs .2088).
     The output rescales score back after the exact mean."""
-    ev = _t(spark, sf, "events").select(
+    ev = _t(spark, sf, "events", spread=True).select(
         F.pmod(F.col("user_id"), F.lit(5)).alias("page_num"),
         F.col("user_id").alias("block_num"),
         F.col("value").alias("left"),
@@ -957,7 +1006,7 @@ def q_gcv_json_roundtrip(spark, sf: str) -> DataFrame:
         serialize_gcv_responses,
     )
 
-    docs = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+    docs = _t(spark, sf, "documents", spread=True).select("doc_id", "lang", "text")
     toks = F.split(F.col("text"), " ")
     n = F.least(F.size(toks), F.lit(8))
     y1 = F.pmod(F.col("doc_id"), F.lit(7)).cast("int")
@@ -1050,7 +1099,7 @@ def q_gcv_symbols(spark, sf: str) -> DataFrame:
         serialize_gcv_responses,
     )
 
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _t(spark, sf, "documents", spread=True).select("doc_id", "text")
     toks = F.filter(
         F.slice(F.split(F.col("text"), " "), 1, 6),
         lambda w: F.length(w) > 0,
@@ -1320,7 +1369,7 @@ NGRAM_MAX_SHINGLE_DF = 100
 
 def q_dedup_ngram_jaccard(spark, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(
-        _t(spark, sf, "documents"),
+        _t(spark, sf, "documents", spread=True),
         n=3,
         threshold=0.01,
         block_col="source",
@@ -1367,7 +1416,7 @@ WHERE inter * 1.0 / (ca.n_sh + cb.n_sh - inter) >= 0.01
 
 def q_minhash_lsh(spark, sf: str) -> DataFrame:
     return minhash_lsh_pairs(
-        _t(spark, sf, "documents"), num_hashes=32, bands=16, threshold=0.05
+        _t(spark, sf, "documents", spread=True), num_hashes=32, bands=16, threshold=0.05
     )
 
 
@@ -1433,7 +1482,7 @@ def q_docs_quality_model(spark, sf: str) -> DataFrame:
         hashed_linear_score,
     )
 
-    return hashed_linear_score(_t(spark, sf, "documents"), dim=1024)
+    return hashed_linear_score(_t(spark, sf, "documents", spread=True), dim=1024)
 
 
 def _sql_quality_model(dim: int = 1024) -> str:
@@ -1563,7 +1612,7 @@ def q_snapshot_diff(spark, sf: str) -> DataFrame:
     rows would re-enter the pipeline."""
     from layout_parser_spark.operators.webgraph import snapshot_diff
 
-    base = _t(spark, sf, "documents")
+    base = _t(spark, sf, "documents", spread=True)
     d = F.col("doc_id")
     old = base.where(d % 7 != 0).select(
         F.col("doc_id").alias("url"), F.col("text")
@@ -1645,7 +1694,7 @@ def q_scrub_pii(spark, sf: str) -> DataFrame:
     from layout_parser_spark.operators.text_analysis import scrub_pii
 
     d = F.col("doc_id")
-    decorated = _t(spark, sf, "documents").select(
+    decorated = _t(spark, sf, "documents", spread=True).select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -1798,7 +1847,7 @@ def q_dedup_clusters(spark, sf: str) -> DataFrame:
     from layout_parser_spark.operators.dedup import dedup_clusters
 
     return dedup_clusters(
-        _t(spark, sf, "documents"), num_hashes=32, bands=16, threshold=0.05
+        _t(spark, sf, "documents", spread=True), num_hashes=32, bands=16, threshold=0.05
     )
 
 
@@ -1825,7 +1874,7 @@ FROM documents d JOIN labels l ON l.id = d.doc_id
 
 
 def q_simhash_buckets(spark, sf: str) -> DataFrame:
-    return simhash_buckets(_t(spark, sf, "documents"))
+    return simhash_buckets(_t(spark, sf, "documents", spread=True))
 
 
 def _sql_simhash_buckets() -> str:
@@ -1888,8 +1937,12 @@ FROM documents
 
 
 def q_docs_lang_id(spark, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+    from layout_parser_spark.operators.text_analysis import with_lang_id
+
+    d = _t(spark, sf, "documents", spread=True)
+    return with_lang_id(d.select("doc_id", "text")).select(
+        "doc_id", "pred_lang"
+    )
 
 
 def _sql_sw_ratio(lang_words):
@@ -1930,7 +1983,7 @@ FROM b
 
 
 def q_docs_quality(spark, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return d.select(
         "doc_id", quality_score(F.col("text")).alias("quality")
     )
@@ -1957,7 +2010,7 @@ FROM q
 
 
 def q_docs_fingerprint(spark, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return d.select(
         "doc_id", doc_fingerprint(F.col("text")).alias("fp")
     )
@@ -1979,15 +2032,16 @@ FROM toks GROUP BY doc_id
 
 def q_docs_repetition(spark, sf: str) -> DataFrame:
     """Gopher-style repetition quality signals (type/token ratio, top
-    token/bigram fractions) — per-doc folds, no shuffle."""
-    from layout_parser_spark.operators.text_analysis import repetition_stats
-
-    d = _t(spark, sf, "documents")
-    toksd = d.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
-    stats = repetition_stats(F.col("_toks"))
-    return toksd.select(
-        "doc_id", *[c.alias(n) for n, c in stats.items()]
+    token/bigram fractions) — per-doc counting, no shuffle.  Counts run
+    in the Arrow kernel (integer-only; ratios + ROUND stay JVM-side),
+    value-identical to the Column-fold form (pinned by
+    tests/test_text_analysis_kernels.py)."""
+    from layout_parser_spark.operators.text_analysis import (
+        repetition_stats_batched,
     )
+
+    d = _t(spark, sf, "documents", spread=True)
+    return repetition_stats_batched(d.select("doc_id", "text"))
 
 
 SQL_REPETITION = """
@@ -2096,7 +2150,7 @@ def q_corpus_top_ngrams(spark, sf: str) -> DataFrame:
     ranking (occurrences DESC, gram ASC) — no float ties across engines."""
     from layout_parser_spark.operators.text_analysis import corpus_top_ngrams
 
-    return corpus_top_ngrams(_t(spark, sf, "documents"), n=2, k=20)
+    return corpus_top_ngrams(_t(spark, sf, "documents", spread=True), n=2, k=20)
 
 
 SQL_TOP_NGRAMS = """
@@ -2129,7 +2183,7 @@ def q_remove_boilerplate(spark, sf: str) -> DataFrame:
     from layout_parser_spark.operators.dedup import repeated_line_removal
 
     return repeated_line_removal(
-        _t(spark, sf, "documents"), delim=" ", max_df=250
+        _t(spark, sf, "documents", spread=True), delim=" ", max_df=250
     )
 
 
@@ -2167,7 +2221,7 @@ def q_dedup_exact_substring(spark, sf: str) -> DataFrame:
     production uses n≈50)."""
     from layout_parser_spark.operators.dedup import duplicated_span_removal
 
-    return duplicated_span_removal(_t(spark, sf, "documents"), n=3)
+    return duplicated_span_removal(_t(spark, sf, "documents", spread=True), n=3)
 
 
 SQL_EXACT_SUBSTRING = """
@@ -2311,7 +2365,7 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
 def _synth_pages_df(spark, sf: str):
     from layout_parser_spark.sources import synth_pages
 
-    return synth_pages(_t(spark, sf, "documents"))
+    return synth_pages(_t(spark, sf, "documents", spread=True))
 
 
 def q_host_link_graph(spark, sf: str) -> DataFrame:
@@ -2474,7 +2528,7 @@ FROM canon GROUP BY canonical_url
 def _queries_df(spark, sf: str):
     # float32 storage → double math on BOTH sides (Spark and the DuckDB
     # oracle) so the accumulation is bit-identical
-    e = _t(spark, sf, "embeddings").withColumn(
+    e = _t(spark, sf, "embeddings", spread=True).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     q = (
@@ -2492,7 +2546,7 @@ def q_dedup_embedding_cosine(spark, sf: str) -> DataFrame:
     from layout_parser_spark.operators.dedup import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.3, block_col="label"
+        _t(spark, sf, "embeddings", spread=True), threshold=0.3, block_col="label"
     )
 
 
@@ -2517,7 +2571,7 @@ def q_dedup_embedding_lsh(spark, sf: str) -> DataFrame:
     from layout_parser_spark.operators.dedup import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
-        _t(spark, sf, "embeddings"),
+        _t(spark, sf, "embeddings", spread=True),
         threshold=0.3,
         block_col=None,
         dim=64,
@@ -2571,7 +2625,7 @@ def q_corpus_filter_pipeline(spark, sf: str) -> DataFrame:
     """End-to-end training-data filter composition: quality gate + lang-ID
     gate + exact dedup, then per-source corpus stats — the canonical
     pre-training corpus funnel as one declarative plan."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     scored = d.select(
         "doc_id",
         "source",
@@ -2673,7 +2727,7 @@ def q_ann_pq(spark, sf: str) -> DataFrame:
     from layout_parser_spark.operators.similarity import pq_topk
 
     d = F.col("doc_id")
-    vectors = _t(spark, sf, "documents").select(
+    vectors = _t(spark, sf, "documents", spread=True).select(
         F.col("doc_id").alias("vec_id"),
         _clustered_vec(d % 10, d).alias("embedding"),
     )

@@ -36,6 +36,7 @@ kernel, bit-identical twin of the pure-Column fold — see
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from typing import List, Sequence, Tuple
 
@@ -158,16 +159,29 @@ def ngram_jaccard_pairs(
     combined.  Jaccard denominators keep the FULL shingle-set sizes, so
     scores for surviving pairs are true Jaccard."""
     staged = _staged_shingles(df, text_col, id_col, n, block_col)
-    sh = staged.select(
-        "id",
-        *(["blk"] if block_col else []),
-        F.size("_sh").alias("n_sh"),
-        # outer + notnull: inner generates let InferFiltersFromGenerate
-        # clone the staged shingle transform into a size()>0 pre-filter
-        # (2x the shingle CPU); see sources/gcv.py for the full story
-        F.explode_outer("_sh").alias("shingle"),
-    ).where(F.col("shingle").isNotNull())
-    join_keys = ["shingle"] + (["blk"] if block_col else [])
+    # the join key is an 8-byte xxhash64 lane of (block, shingle) — the
+    # raw shingle STRING never enters a shuffle (same internal-lane
+    # policy as repeated_line_removal / duplicated_span_removal, see the
+    # module docstring: the DuckDB oracle joins on the raw gram text, so
+    # a green row certifies the lane collision-free)
+    lane = (
+        F.xxhash64(F.col("blk"), F.col("shingle"))
+        if block_col
+        else F.xxhash64(F.col("shingle"))
+    )
+    sh = (
+        staged.select(
+            "id",
+            *(["blk"] if block_col else []),
+            F.size("_sh").alias("n_sh"),
+            # outer + notnull: inner generates let InferFiltersFromGenerate
+            # clone the staged shingle transform into a size()>0 pre-filter
+            # (2x the shingle CPU); see sources/gcv.py for the full story
+            F.explode_outer("_sh").alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+        .select("id", F.col("n_sh"), lane.alias("_lane"))
+    )
     if materialize_shingles:
         # the exploded shingle table is consumed by up to three subtrees
         # (df-cap aggregate + both self-join sides): persisting it is the
@@ -181,29 +195,32 @@ def ngram_jaccard_pairs(
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if max_shingle_df is not None:
         hot = (
-            sh.groupBy(*join_keys)
+            sh.groupBy("_lane")
             .agg(F.count(F.lit(1)).alias("_df"))
             .where(F.col("_df") > max_shingle_df)
-            .select(*join_keys)
+            .select("_lane")
         )
-        sh = sh.join(F.broadcast(hot), on=join_keys, how="left_anti")
-    # MERGE hint: without it Spark broadcasts one side of the self-join —
-    # collecting the ENTIRE exploded shingle table to the driver and
-    # rebuilding its hash table per task (measured 2× slower at sf0.1, and
-    # a driver OOM at 10^12 docs); the sort-merge self-join shuffles both
-    # sides on (shingle[, blk]) — the shape that scales
+        sh = sh.join(F.broadcast(hot), on="_lane", how="left_anti")
+    # SHUFFLE_HASH hint: without a hint Spark broadcasts one side of the
+    # self-join — collecting the ENTIRE exploded shingle table to the
+    # driver and rebuilding its hash table per task (measured 2× slower
+    # at sf0.1, and a driver OOM at 10^12 docs).  Both sides shuffle on
+    # the 8-byte lane (one exchange, AQE reuses it for the second side);
+    # the per-partition hash build skips the two sorts a MERGE join
+    # would pay, and spills gracefully if a partition outgrows memory
+    # (guide §3.1).
     a = sh.select(
-        *[F.col(c) for c in join_keys],
+        "_lane",
         F.col("id").alias("id_a"),
         F.col("n_sh").alias("na"),
-    ).hint("MERGE")
+    ).hint("SHUFFLE_HASH")
     b = sh.select(
-        *[F.col(c) for c in join_keys],
+        "_lane",
         F.col("id").alias("id_b"),
         F.col("n_sh").alias("nb"),
-    ).hint("MERGE")
+    ).hint("SHUFFLE_HASH")
     pairs = (
-        a.join(b, on=join_keys)
+        a.join(b, on=["_lane"])
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -327,6 +344,89 @@ def minhash_signatures_vectorized(num_hashes: int = 64) -> "Column":
     return pandas_udf(_kernel, "array<long>")
 
 
+def minhash_signatures_from_text(
+    num_hashes: int = 64, n: int = 3
+) -> "Column":
+    """Arrow kernel fusing tokenize → distinct word-n-gram shingles →
+    md5 base lane → Carter-Wegman minima: raw text in, MinHash
+    signature array out, ONE python slot for the whole signature stage.
+
+    Bit-identical to the staged Column pipeline (``_staged_shingles`` →
+    ``minhash_base_hashes`` → ``minhash_signatures_vectorized``), pinned
+    by tests/test_dedup_similarity.py: ``str.split(' ')`` ==
+    ``split(text, ' ')``, ``' '.join`` == ``concat_ws(' ', …)`` (tokens
+    are separator-free so the mapping is bijective), ``hashlib.md5`` of
+    the utf-8 bytes == ``md5(encode(col, 'utf-8'))`` and
+    ``int(hexdigest[:15], 16)`` == ``conv(substring(md5, 1, 15), 16,
+    10)``; the permutation minima use the same int64 matrix kernel as
+    ``minhash_signatures_vectorized``.  The shingle SET is order-
+    insensitive under min-folds, so ``set()`` replaces the fold's
+    first-occurrence ``array_distinct`` order for free.
+
+    Why: the Column shingle+md5 stages evaluate interpreted (HOF
+    lambdas + per-element md5/conv — ~0.7 s of the 2.2 s query at
+    sf1.0/local[32]); hashlib + numpy do the identical math inside the
+    slot that already exists for the minima.  Docs with fewer than n
+    tokens (zero shingles) return the fold identity [p]*k — callers
+    exclude them upstream exactly as before."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    perms = minhash_perm_consts(num_hashes)
+    A = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in perms], dtype=np.int64)[:, None]
+    _md5 = hashlib.md5
+
+    def _kernel(texts):
+        out: list = []
+        n_rows = len(texts)
+        i = 0
+        while i < n_rows:
+            j, tot, lens, rows = i, 0, [], []
+            while j < n_rows and tot < 200_000:
+                t = texts.iloc[j]
+                if t is None:
+                    rows.append(np.zeros(1, dtype=np.int64))
+                    lens.append((1, True))
+                else:
+                    toks = t.split(" ")
+                    if len(toks) < n:
+                        rows.append(np.zeros(1, dtype=np.int64))
+                        lens.append((1, True))
+                    else:
+                        grams = {
+                            " ".join(toks[k : k + n])
+                            for k in range(len(toks) - n + 1)
+                        }
+                        arr = np.fromiter(
+                            (
+                                int(_md5(g.encode()).hexdigest()[:15], 16)
+                                % MINHASH_P
+                                for g in grams
+                            ),
+                            dtype=np.int64,
+                            count=len(grams),
+                        )
+                        rows.append(arr)
+                        lens.append((len(arr), False))
+                tot += len(rows[-1])
+                j += 1
+            flat = np.concatenate(rows)
+            M = (A * flat[None, :] + B) % MINHASH_P
+            offs = np.zeros(len(lens), dtype=np.intp)
+            np.cumsum([l for l, _ in lens[:-1]], out=offs[1:])
+            mins = np.minimum.reduceat(M, offs, axis=1)
+            for r, (_, empty) in enumerate(lens):
+                out.append(
+                    [MINHASH_P] * num_hashes if empty else mins[:, r].tolist()
+                )
+            i = j
+        return pd.Series(out)
+
+    return pandas_udf(_kernel, "array<long>")
+
+
 def minhash_signature(text: Column, num_hashes: int = 64, n: int = 3) -> Column:
     """Literal/test convenience; pipelines stage shingles AND base hashes
     first (this inline form re-derives the md5 per permutation reference)."""
@@ -354,26 +454,21 @@ def minhash_lsh_pairs(
     and are excluded.  Returns (id_a, id_b, est_jaccard)."""
     r = num_hashes // bands
     # zero-shingle exclusion is expressed on the RAW token count (size ≥ n
-    # ⇔ at least one n-gram): an equivalent `where(size(_sh) > 0)` AFTER
-    # staging gets predicate-pushed below the projection, inlining the
-    # whole gram expression (split included) into the filter — evaluating
-    # the O(tokens) lambda twice per row and the split per ELEMENT
-    staged = _staged_shingles(
-        df.where(F.size(F.split(F.col(text_col), " ")) >= n),
-        text_col,
-        id_col,
-        n,
+    # ⇔ at least one n-gram), so the signature kernel only ever sees docs
+    # with content signal
+    docs = df.where(F.size(F.split(F.col(text_col), " ")) >= n)
+    # ONE fused Arrow kernel: text → shingles → md5 lanes → signature
+    # (bit-identical to the staged Column pipeline — see
+    # minhash_signatures_from_text; equality pinned by test)
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signatures_from_text(num_hashes, n)(
+            F.col(text_col)
+        ).alias("sig"),
     )
-    based = staged.select(
-        "id", minhash_base_hashes(F.col("_sh")).alias("_bases")
-    )
-    # vectorized Arrow kernel — bit-identical to the Column fold
-    # (minhash_from_bases), ~7x cheaper on the k×|shingles| arithmetic;
-    # equality pinned by tests/test_dedup_similarity.py
-    sig = based.select(
-        "id",
-        minhash_signatures_vectorized(num_hashes)(F.col("_bases")).alias("sig"),
-    )
+    # band KEYS are the r raw component LONGS (k0..k{r-1}) — tuple
+    # equality is all the join needs; no per-row string building, and
+    # the shuffle carries 8-byte ints instead of a concat'd string
     banded = sig.select(
         "id",
         "sig",
@@ -382,28 +477,30 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        # the band KEY is the joined component values —
-                        # equality is all the join needs, no re-hash
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at(
-                                    F.col("sig"), bi * r + j + 1
-                                ).cast("string")
-                                for j in range(r)
-                            ],
-                        ).alias("bucket"),
+                        *[
+                            F.element_at(
+                                F.col("sig"), bi * r + j + 1
+                            ).alias(f"k{j}")
+                            for j in range(r)
+                        ],
                     )
                     for bi in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "id",
+        "sig",
+        F.col("bb.band").alias("band"),
+        *[F.col(f"bb.k{j}").alias(f"k{j}") for j in range(r)],
+    )
 
-    # MERGE: avoid broadcasting the banded signature table (see
-    # ngram_jaccard_pairs) — candidates come from a sort-merge equi-join
-    a = banded.alias("a").hint("MERGE")
-    b = banded.alias("b").hint("MERGE")
+    # SHUFFLE_HASH: avoid broadcasting the banded signature table (see
+    # ngram_jaccard_pairs) — both sides shuffle on the band key (AQE
+    # reuses one exchange for the self-join), per-partition hash build
+    # skips the sort-merge sorts
+    a = banded.alias("a").hint("SHUFFLE_HASH")
+    b = banded.alias("b").hint("SHUFFLE_HASH")
     # est_jaccard is computed BEFORE the pair-dedup: the same (id_a,id_b)
     # always carries the same signatures, so the estimate is identical on
     # every duplicate candidate row and the dropDuplicates exchange
@@ -420,8 +517,14 @@ def minhash_lsh_pairs(
     cand = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
+            functools.reduce(
+                lambda acc, c: acc & c,
+                [
+                    F.col(f"a.k{j}") == F.col(f"b.k{j}")
+                    for j in range(r)
+                ],
+                F.col("a.band") == F.col("b.band"),
+            )
             & (F.col("a.id") < F.col("b.id")),
         )
         .where(est >= threshold)

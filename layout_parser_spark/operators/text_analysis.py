@@ -39,25 +39,89 @@ def regex_token_count(text: Column) -> Column:
     )
 
 
+def _space_doubled(text: Column) -> Column:
+    """`` text-with-doubled-spaces ``: every token (as produced by
+    ``split(text, ' ')``) is flanked by its OWN leading and trailing
+    space, so counting non-overlapping occurrences of ``' w '`` counts
+    exactly the tokens equal to ``w`` (adjacent matches can't steal each
+    other's separator)."""
+    return F.concat(
+        F.lit(" "), F.replace(text, F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+
+
+def _stopword_hits(padded: Column, lang: str) -> Column:
+    """Number of tokens equal to any stopword of ``lang``, counted over a
+    ``_space_doubled`` text.  The alternation is over literal words (no
+    regex metacharacters in the lexicons), and the flanking spaces force
+    whole-token matches, so this equals the filter-lambda count exactly —
+    but it runs as ONE codegen'd regexp pass instead of an interpreted
+    higher-order-function loop (guide §4.1: HOF lambdas evaluate outside
+    whole-stage codegen, ~3 ms/doc for the 2x5-language cascade)."""
+    pat = " (" + "|".join(STOPWORDS[lang]) + ") "
+    return F.regexp_count(padded, F.lit(pat))
+
+
 def stopword_ratio(text: Column, lang: str) -> Column:
     """fraction of tokens that are stopwords of ``lang``."""
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    toks = tokens(text)
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return hits / F.greatest(F.size(toks), F.lit(1))
+    hits = _stopword_hits(_space_doubled(text), lang)
+    # token count without materializing the split array: one separator
+    # per single space (split(text, ' ') yields n_spaces+1 elements,
+    # empties included)
+    n_toks = (
+        F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit("")))
+        + F.lit(1)
+    )
+    return hits / F.greatest(n_toks, F.lit(1))
+
+
+def _lang_id_cascade(ratio_cols: "dict[str, Column]") -> Column:
+    """argmax-by-(ratio, lang-code) cascade over per-language ratio
+    COLUMNS; 'und' when all ratios are 0 (ties resolve to the largest
+    lang code — pinned by the driver oracle's reversed CASE)."""
+    pairs = [
+        F.struct(ratio_cols[lang].alias("r"), F.lit(lang).alias("l"))
+        for lang in sorted(ratio_cols)
+    ]
+    best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
+    return F.when(best["r"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
 def lang_id(text: Column) -> Column:
     """Heuristic language ID: argmax of per-language stopword ratios, ties
-    broken by language code order; 'und' when all ratios are 0."""
-    pairs = [
-        F.struct(
-            stopword_ratio(text, lang).alias("r"), F.lit(lang).alias("l")
-        )
-        for lang in sorted(STOPWORDS)
-    ]
-    best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
-    return F.when(best["r"] > 0, best["l"]).otherwise(F.lit("und"))
+    broken by language code order; 'und' when all ratios are 0.
+
+    NB: as a single Column the WHEN/THEN cascade re-references the
+    counting pass twice and codegen does not CSE it (measured 2x) —
+    volume paths should use ``with_lang_id`` which stages the counts in
+    their own projection."""
+    return _lang_id_cascade(
+        {lang: stopword_ratio(text, lang) for lang in STOPWORDS}
+    )
+
+
+def with_lang_id(df, text_col: str = "text", out_col: str = "pred_lang"):
+    """``lang_id`` with the per-language stopword counts staged through
+    their own projection, so each counting pass runs ONCE per row
+    (CollapseProject keeps the stage because the counts are non-cheap
+    and multiply referenced).  Value-identical to ``lang_id``."""
+    padded = _space_doubled(F.col(text_col))
+    n_toks = (
+        F.length(text_col)
+        - F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+        + F.lit(1)
+    )
+    langs = sorted(STOPWORDS)
+    staged = df.withColumns(
+        {f"_lh_{lang}": _stopword_hits(padded, lang) for lang in langs}
+    ).withColumn("_lh_n", n_toks)
+    denom = F.greatest(F.col("_lh_n"), F.lit(1))
+    pred = _lang_id_cascade(
+        {lang: F.col(f"_lh_{lang}") / denom for lang in langs}
+    )
+    return staged.withColumn(out_col, pred).drop(
+        "_lh_n", *[f"_lh_{lang}" for lang in langs]
+    )
 
 
 def quality_score(text: Column) -> Column:
@@ -153,6 +217,82 @@ def repetition_stats(toks: Column) -> "dict[str, Column]":
             6,
         ),
     }
+
+
+def repetition_counts_vectorized() -> "Column":
+    """Arrow-kernel twin of the INTEGER counts behind
+    ``repetition_stats``: per document (n_tokens, n_distinct,
+    max_token_count, max_bigram_count) from the raw text.
+
+    Why a designed Python slot: the Column form is three interpreted
+    higher-order-function folds per row (aggregate with a struct
+    accumulator over sorted arrays — HOF lambdas evaluate outside
+    whole-stage codegen; measured ~1.3 ms/doc).  The kernel returns
+    ONLY exact integers — every ratio, division and ROUND stays in the
+    JVM expression layer, so there is zero float-semantics surface.
+    Equality with the fold form is pinned by
+    tests/test_text_analysis_kernels.py.
+
+    Token/bigram equivalence notes: ``split(text, ' ')`` ==
+    ``str.split(' ')`` (both keep empties, both yield [''] for ''); the
+    fold's max-run-over-sorted-array IS the max multiplicity; bigram
+    strings ``concat_ws(' ', a, b)`` are in bijection with the (a, b)
+    pairs because tokens cannot contain the separator — counting pairs
+    directly is identical."""
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _kernel(texts):
+        n_out, d_out, mx_out, mb_out = [], [], [], []
+        for t in texts:
+            if t is None:
+                n_out.append(None); d_out.append(None)
+                mx_out.append(None); mb_out.append(None)
+                continue
+            toks = t.split(" ")
+            n = len(toks)
+            c = Counter(toks)
+            n_out.append(n)
+            d_out.append(len(c))
+            mx_out.append(max(c.values()))
+            mb_out.append(
+                max(Counter(zip(toks, toks[1:])).values()) if n > 1 else 0
+            )
+        return pd.DataFrame(
+            {"n": n_out, "d": d_out, "mx": mx_out, "mb": mb_out}
+        )
+
+    return pandas_udf(
+        _kernel, "struct<n:bigint,d:bigint,mx:bigint,mb:bigint>"
+    )
+
+
+def repetition_stats_batched(
+    df, text_col: str = "text", id_col: str = "doc_id"
+):
+    """``repetition_stats`` computed via the Arrow counting kernel —
+    value-identical output (ratios/ROUND still JVM-side over the exact
+    integers), map-only, no shuffle."""
+    cnt = df.select(
+        F.col(id_col).alias(id_col),
+        repetition_counts_vectorized()(F.col(text_col)).alias("_c"),
+    )
+    n = F.col("_c.n")
+    return cnt.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.round(F.col("_c.d") / F.greatest(n, F.lit(1)), 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(F.col("_c.mx") / F.greatest(n, F.lit(1)), 6).alias(
+            "top_token_frac"
+        ),
+        F.round(
+            F.col("_c.mb") / F.greatest(n - 1, F.lit(1)), 6
+        ).alias("top_bigram_frac"),
+    )
 
 
 def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):

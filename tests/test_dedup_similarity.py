@@ -716,6 +716,56 @@ def test_minhash_vectorized_kernel_equals_column_fold(spark):
     assert kern == fold
 
 
+def test_minhash_fused_text_kernel_equals_staged_pipeline(spark):
+    """The r6 fused text→signature kernel (tokenize+shingle+md5+minima
+    in one Arrow slot) must be BIT-IDENTICAL to the staged Column
+    pipeline (split → shingles_from_tokens → minhash_base_hashes →
+    vectorized minima) on real-ish and adversarial texts, so swapping
+    the signature stage can never change LSH results."""
+    from layout_parser_spark.operators.dedup import (
+        minhash_base_hashes,
+        minhash_signatures_from_text,
+        minhash_signatures_vectorized,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a b c",                       # exactly n tokens → one shingle
+        "dup dup dup dup dup",         # repeated shingles → distinct set
+        "x  y   z w",                  # empty tokens from double spaces
+        "汉字 分词 测试 汉字 分词",       # multibyte utf-8 shingles
+        "tab\tinside token here ok",
+        " leading and trailing space ",
+        "the quick brown fox " * 40,   # long doc, heavy dup shingles
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    toksd = df.select("id", F.split("text", " ").alias("_toks"))
+    from layout_parser_spark.operators.dedup import shingles_from_tokens
+
+    staged = toksd.select(
+        "id", shingles_from_tokens(F.col("_toks"), 3).alias("_sh")
+    ).select("id", minhash_base_hashes(F.col("_sh")).alias("_bases"))
+    old = {
+        r.id: r.sig
+        for r in staged.select(
+            "id",
+            minhash_signatures_vectorized(16)(F.col("_bases")).alias("sig"),
+        ).collect()
+    }
+    new = {
+        r.id: r.sig
+        for r in df.select(
+            "id",
+            minhash_signatures_from_text(16, 3)(F.col("text")).alias("sig"),
+        ).collect()
+    }
+    # note: docs with < 3 tokens go through the staged path as k<1 →
+    # empty shingles → identity vector; the kernel matches that too
+    assert new == old
+
+
 def test_simhash_vectorized_kernel_equals_column_fold(spark):
     """The Arrow simhash kernel must be BIT-IDENTICAL to the pure-Column
     fold (simhash_from_hashes) on every edge the fold defines: normal
