@@ -717,25 +717,89 @@ def embedding_near_dup_pairs(
     ).where(F.col("cosine_sim") >= threshold)
 
 
+def simhash_from_text_vectorized() -> "Column":
+    """Arrow kernel fusing tokenize → per-token md5 lane → bit-majority
+    pack: raw text in, 60-bit simhash out, one python slot for the whole
+    signature stage.  Bit-identical to ``split`` + ``transform(…,
+    md5_lane60)`` + ``simhash_vectorized`` (NULL text → 0 like the
+    fold's NULL-array case); pinned by tests/test_dedup_similarity.py.
+    The per-token interpreted md5/conv transform was the remaining
+    interpreted cost of the simhash stage (~0.7 s at sf1.0)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    BITS = np.arange(SIMHASH_BITS, dtype=np.int64)
+    WEIGHTS = np.int64(1) << BITS
+    _md5 = hashlib.md5
+    MASK = (1 << 60) - 1
+
+    def _kernel(texts):
+        out: list = []
+        n_rows = len(texts)
+        i = 0
+        while i < n_rows:
+            j, tot, rows, null_rows = i, 0, [], []
+            while j < n_rows and tot < 200_000:
+                t = texts.iloc[j]
+                if t is None:
+                    rows.append(np.zeros(1, dtype=np.int64))
+                    null_rows.append(True)
+                else:
+                    toks = t.split(" ")
+                    rows.append(
+                        np.fromiter(
+                            (
+                                int(_md5(tok.encode()).hexdigest()[:15], 16)
+                                for tok in toks
+                            ),
+                            dtype=np.int64,
+                            count=len(toks),
+                        )
+                    )
+                    null_rows.append(False)
+                tot += len(rows[-1])
+                j += 1
+            flat = np.concatenate(rows)
+            bits = (flat[None, :] >> BITS[:, None]) & 1
+            offs = np.zeros(len(rows), dtype=np.intp)
+            np.cumsum([len(r) for r in rows[:-1]], out=offs[1:])
+            cnt = np.add.reduceat(bits, offs, axis=1)
+            lens = np.array([len(r) for r in rows], dtype=np.int64)
+            vote = (2 * cnt) >= lens[None, :]
+            packed = (vote * WEIGHTS[:, None]).sum(axis=0)
+            for r, isnull in enumerate(null_rows):
+                out.append(0 if isnull else int(packed[r]) & MASK)
+            i = j
+        return pd.Series(out)
+
+    return pandas_udf(_kernel, "long")
+
+
 def simhash_buckets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """SimHash near-dup bucketing: split the 60-bit hash into 4×15-bit
     chunks; docs within hamming distance 3 share at least one chunk
     (pigeonhole), so an equi-join on (chunk_idx, chunk) finds all such
-    pairs without a cross join.  The signature stage runs the Arrow
-    kernel (``simhash_vectorized``), bit-identical to the Column fold."""
-    toksd = df.select(
-        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks")
+    pairs without a cross join.  The signature stage is ONE fused Arrow
+    kernel (``simhash_from_text_vectorized``), bit-identical to the
+    Column fold pipeline.
+
+    Pair UNIQUENESS is by construction, not by a dedup exchange: a pair
+    agreeing on several chunks is emitted only from its FIRST agreeing
+    chunk (the join adds 'every earlier chunk differs'), so the
+    27M-pair-scale output skips the dropDuplicates shuffle entirely —
+    the only exchange left is the bucket equi-shuffle of the tiny chunk
+    table (guide §2.4: remove shuffles outright)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        simhash_from_text_vectorized()(F.col(text_col)).alias("sim"),
     )
-    hashed = toksd.select(
-        "id",
-        F.transform(F.col("_toks"), md5_lane60).alias("_h"),
-        F.size("_toks").alias("_n"),
-    )
-    sh = hashed.select(
-        "id", simhash_vectorized()(F.col("_h"), F.col("_n")).alias("sim")
-    )
+
+    def _chunk(col, i):
+        return F.shiftright(col, 15 * i).bitwiseAND(F.lit(0x7FFF))
+
     chunks = sh.select(
         "id",
         "sim",
@@ -744,35 +808,41 @@ def simhash_buckets(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.shiftright(F.col("sim"), 15 * i)
-                        .bitwiseAND(F.lit(0x7FFF))
-                        .alias("chunk"),
+                        _chunk(F.col("sim"), i).alias("chunk"),
                     )
                     for i in range(4)
                 ]
             )
         ).alias("c"),
     ).select("id", "sim", "c.chunk_idx", "c.chunk")
-    a, b = chunks.alias("a").hint("MERGE"), chunks.alias("b").hint("MERGE")
+    a = chunks.alias("a").hint("SHUFFLE_HASH")
+    b = chunks.alias("b").hint("SHUFFLE_HASH")
+    # first-agreeing-chunk guard: for this row's chunk_idx = i, every
+    # chunk j < i must DIFFER between the two sims — each distinct pair
+    # then appears exactly once across the 4 chunk streams
+    first_match = functools.reduce(
+        lambda acc, j: acc
+        & (
+            (F.col("a.chunk_idx") <= F.lit(j))
+            | (_chunk(F.col("a.sim"), j) != _chunk(F.col("b.sim"), j))
+        ),
+        range(3),
+        F.lit(True),
+    )
     pairs = (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
             & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & first_match,
         )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast(
-                "long"
-            ),
+            F.bit_count(
+                F.col("a.sim").bitwiseXOR(F.col("b.sim"))
+            ).cast("long").alias("hamming"),
         )
     )
     return pairs.select("id_a", "id_b", "hamming")
@@ -796,12 +866,18 @@ def ngram_overlap_counts(
     join anywhere."""
     tr = _staged_shingles(train, text_col, id_col, n)
     ev = _staged_shingles(eval_df, text_col, id_col, n)
-    tr_sh = tr.select("id", F.explode_outer("_sh").alias("g")).where(
-        F.col("g").isNotNull()
+    # the overlap join runs on the 8-byte xxhash64 lane of the gram, not
+    # the raw string (internal-lane policy — module docstring; the
+    # oracle joins raw grams, so a green row certifies collision-freeness)
+    tr_sh = (
+        tr.select("id", F.explode_outer("_sh").alias("g"))
+        .where(F.col("g").isNotNull())
+        .select("id", F.xxhash64(F.col("g")).alias("g"))
     )
     ev_sh = (
         ev.select(F.explode_outer("_sh").alias("g"))
         .where(F.col("g").isNotNull())
+        .select(F.xxhash64(F.col("g")).alias("g"))
         .distinct()
     )
     hits = (
@@ -840,9 +916,13 @@ def ngram_overlap_counts_flagged(
     )
     staged = _staged_shingles(flagged, text_col, id_col, n,
                               block_col="_is_eval")
-    sh = staged.select(
-        "id", "blk", F.explode_outer("_sh").alias("g")
-    ).where(F.col("g").isNotNull())
+    # gram strings die in this projection; the join key is the 8-byte
+    # xxhash64 lane (see ngram_overlap_counts)
+    sh = (
+        staged.select("id", "blk", F.explode_outer("_sh").alias("g"))
+        .where(F.col("g").isNotNull())
+        .select("id", "blk", F.xxhash64(F.col("g")).alias("g"))
+    )
     if materialize_shingles:
         from pyspark.storagelevel import StorageLevel
 
@@ -1002,10 +1082,12 @@ def duplicated_span_removal(
         .where(F.col("occ") > 1)
         .select("gl")
     )
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode_outer(F.split(F.col(text_col), " ")).alias("pos", "tok"),
-    ).where(F.col("pos").isNotNull())
+    # covered positions gather into ONE per-doc array (collect_set is
+    # map-side partial, so the seq-exploded rows dedup before the
+    # exchange); reassembly is then an in-place array filter on the
+    # document row — the r5 shape exploded every TOKEN and paid three
+    # corpus-sized shuffles (anti-join both sides + collect_list
+    # re-sort), ~2.5 s of the 4.4 s query at sf1.0 (guide §2.4)
     covered = (
         grams.join(dup, on="gl")
         .select(
@@ -1015,29 +1097,35 @@ def duplicated_span_removal(
             ).alias("pos"),
         )
         .where(F.col("pos").isNotNull())
-        .distinct()
-    )
-    kept = toks.join(covered, on=["id", "pos"], how="left_anti")
-    agg = kept.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("_cov"))
     )
     base = df.select(
         F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), " ")).alias("_n"),
+        F.split(F.col(text_col), " ").alias("_toks"),
     )
-    return base.join(agg, on="id", how="left").select(
+    joined = base.join(covered, on="id", how="left")
+    # 2-arg filter lambda receives (element, 0-based index) — exactly
+    # the gram position space; docs with no duplicated span keep all
+    kept_arr = F.when(
+        F.col("_cov").isNull(), F.col("_toks")
+    ).otherwise(
+        F.filter(
+            F.col("_toks"),
+            lambda t, i: ~F.array_contains(F.col("_cov"), i),
+        )
+    )
+    staged = joined.select("id", F.size("_toks").alias("_n"),
+                           kept_arr.alias("_kept"))
+    return staged.select(
         "id",
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.array_join(F.col("_kept"), " "), F.lit("")).alias(
+            "clean_text"
+        ),
+        F.coalesce(F.size("_kept"), F.lit(0)).cast("long").alias("n_kept"),
         (
-            F.col("_n").cast("long") - F.coalesce(F.col("n_kept"), F.lit(0))
+            F.col("_n").cast("long")
+            - F.coalesce(F.size("_kept"), F.lit(0))
         ).alias("n_removed"),
     )
 

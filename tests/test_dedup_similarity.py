@@ -766,6 +766,84 @@ def test_minhash_fused_text_kernel_equals_staged_pipeline(spark):
     assert new == old
 
 
+def test_simhash_fused_text_kernel_equals_staged_pipeline(spark):
+    """The r6 fused text→simhash kernel (tokenize + per-token md5 lane +
+    bit-majority in one Arrow slot) must be BIT-IDENTICAL to the staged
+    pipeline (split → transform(md5_lane60) → simhash_vectorized),
+    including empty/whitespace/multibyte texts."""
+    from layout_parser_spark.operators.dedup import (
+        md5_lane60,
+        simhash_from_text_vectorized,
+        simhash_vectorized,
+    )
+
+    texts = [
+        "",
+        " ",
+        "  ",
+        "a",
+        "the quick brown fox",
+        "dup dup dup",
+        "汉字 分词 测试 汉字",
+        "x  y   z",
+        " lead",
+        "trail ",
+        "the " * 200,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    toksd = df.select("id", F.split("text", " ").alias("_toks"))
+    hashed = toksd.select(
+        "id",
+        F.transform("_toks", md5_lane60).alias("_h"),
+        F.size("_toks").alias("_n"),
+    )
+    old = {
+        r.id: r.s
+        for r in hashed.select(
+            "id",
+            simhash_vectorized()(F.col("_h"), F.col("_n")).alias("s"),
+        ).collect()
+    }
+    new = {
+        r.id: r.s
+        for r in df.select(
+            "id",
+            simhash_from_text_vectorized()(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert new == old
+
+
+def test_simhash_buckets_first_match_uniqueness(spark):
+    """simhash_buckets emits every bucket-mate pair EXACTLY once (the
+    first-agreeing-chunk guard replaces the dropDuplicates exchange) —
+    uniqueness plus set-equality with the dedup-exchange construction."""
+    from layout_parser_spark.operators.dedup import simhash_buckets
+
+    # doc pairs engineered to agree on multiple chunks (identical texts
+    # agree on ALL 4) plus partially-similar docs
+    texts = [
+        "alpha beta gamma delta",
+        "alpha beta gamma delta",      # identical → 4-chunk agreement
+        "alpha beta gamma epsilon",
+        "zeta eta theta iota",
+        "zeta eta theta iota",
+        "completely different words here",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = simhash_buckets(df).collect()
+    pairs = [(r.id_a, r.id_b) for r in out]
+    assert len(pairs) == len(set(pairs))  # unique by construction
+    assert (0, 1) in set(pairs) and (3, 4) in set(pairs)
+    for r in out:
+        if (r.id_a, r.id_b) in ((0, 1), (3, 4)):
+            assert r.hamming == 0
+
+
 def test_simhash_vectorized_kernel_equals_column_fold(spark):
     """The Arrow simhash kernel must be BIT-IDENTICAL to the pure-Column
     fold (simhash_from_hashes) on every edge the fold defines: normal
