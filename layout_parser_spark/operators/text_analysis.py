@@ -629,8 +629,15 @@ def nfc_normalize_text(df, text_col: str = "text", id_col: str = "doc_id"):
 
     _nfc = pandas_udf(_nfc_fn, "string")
 
-    return df.select(
+    # stage the UDF result once — referencing _nfc(text) twice in one
+    # projection evaluates the python stage twice per row
+    staged = df.select(
         F.col(id_col).alias("id"),
+        F.col(text_col).alias("_t"),
         _nfc(F.col(text_col)).alias("norm_text"),
-        (_nfc(F.col(text_col)) != F.col(text_col)).alias("changed"),
+    )
+    return staged.select(
+        "id",
+        "norm_text",
+        (F.col("norm_text") != F.col("_t")).alias("changed"),
     )

@@ -106,9 +106,14 @@ def run_with_manifest(
     # source-snapshot lineage: inputFiles() returns the relation's full
     # (unpruned) file listing whatever filter sits on top, so one digest
     # per run is the honest granularity — every bucket row this run
-    # stamps the same snapshot it was read from.
-    files = sorted(pages.inputFiles())
-    fdigest = _hashlib.md5("\n".join(files).encode()).hexdigest()
+    # stamps the same snapshot it was read from.  Computed only when
+    # there is pending work: a fully-resumed run should not pay the
+    # file-index listing (ADVICE r5).
+    files: list = []
+    fdigest = ""
+    if pending:
+        files = sorted(pages.inputFiles())
+        fdigest = _hashlib.md5("\n".join(files).encode()).hexdigest()
     processed = []
     for b in pending:
         part = withb.where(F.col("_bucket") == b).drop("_bucket")

@@ -171,7 +171,10 @@ def _const_field(name: str, v) -> Column:
     if _CONST_CACHE_SC is None or _CONST_CACHE_SC() is not sc:
         _CONST_CACHE.clear()
         _CONST_CACHE_SC = weakref.ref(sc) if sc is not None else None
-    key = (name, type(v).__name__, v)
+    # key on the type OBJECT, not its name: two classes sharing a name
+    # (e.g. different libraries' 'float64') whose instances compare
+    # equal must not alias to one cached Column (ADVICE r5)
+    key = (name, type(v), v)
     col = _CONST_CACHE.get(key)
     if col is None:
         col = _coerce(v, name).alias(name)

@@ -36,8 +36,8 @@ def test_const_field_cache_resets_on_new_context(spark):
     schema_mod._CONST_CACHE_SC = None
     schema_mod._const_field("text", "warmup2")
     assert schema_mod._CONST_CACHE_SC() is spark.sparkContext
-    assert ("text", "str", "warmup") not in schema_mod._CONST_CACHE
-    assert ("text", "str", "warmup2") in schema_mod._CONST_CACHE
+    assert ("text", str, "warmup") not in schema_mod._CONST_CACHE
+    assert ("text", str, "warmup2") in schema_mod._CONST_CACHE
 
 
 def test_gcca_apply_missing_key_col_raises(spark):
