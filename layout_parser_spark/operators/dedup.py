@@ -635,6 +635,89 @@ def simhash64(text: Column) -> Column:
     return simhash_from_hashes(hashes, F.size(toks))
 
 
+def _pairwise_cosine_group_fn(threshold: float):
+    """applyInPandas kernel factory for ``embedding_near_dup_pairs``:
+    one block/bucket of (id, v, …) rows in, the pairs (id_a, id_b, sim)
+    with id_a < id_b and sim ≥ threshold − 1e-6 out (the margin keeps
+    every pair that could still clear the threshold after the JVM-side
+    ROUND(…, 6); the exact filter happens there).
+
+    Bit-identity with the former per-pair Column fold
+    (``similarity.cosine`` = aggregate(zip_with(a,b,x*y), 0.0, +) /
+    (sqrt-fold × sqrt-fold)), not near-equality — the driver oracle
+    hash-compares:
+
+    * summation is a SEQUENTIAL left fold starting at +0.0, implemented
+      as ``np.add.accumulate`` along the element axis with a +0.0 first
+      column (ufunc.accumulate is defined element-sequential; NumPy's
+      pairwise-summation fast path applies to ``sum``/``add.reduce``
+      only, never to accumulate);
+    * every scalar op (multiply, add, sqrt, divide) is a correctly
+      rounded IEEE-754 double op in both NumPy and the JVM, so with the
+      association fixed the results are bit-equal; the per-vector norm
+      is computed once per vector from the same input the per-pair fold
+      saw, hence the same bits;
+    * pairs the fold scored NULL (a NULL vector, or zip_with length
+      padding) or NaN (zero-norm ±0.0/0.0) never passed the ≥ threshold
+      filter, and here are simply not emitted — identical query output.
+
+    Pinned by tests/test_dedup_similarity.py (group kernel vs fold on
+    adversarial vectors) and the oracle rows at three scales."""
+    import numpy as np
+    import pandas as pd
+
+    margin = threshold - 1e-6
+
+    def _fn(pdf):
+        ids_np = pdf["id"].to_numpy()
+        vs = pdf["v"].to_numpy()
+        ok = [i for i in range(len(ids_np)) if vs[i] is not None]
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        # same-length partitions: a cross-length pair is NULL under
+        # zip_with padding and is never emitted
+        by_len: dict = {}
+        for i in ok:
+            by_len.setdefault(len(vs[i]), []).append(i)
+        for idx in by_len.values():
+            sub_ids = ids_np[idx]
+            order = np.argsort(sub_ids, kind="stable")
+            sid = sub_ids[order]
+            A = np.vstack(
+                [np.asarray(vs[i], dtype=np.float64) for i in
+                 (idx[o] for o in order)]
+            )
+            m = A.shape[0]
+            z = np.zeros((m, 1))
+            # sqrt-fold per vector; x² is never -0.0, so the fold's +0.0
+            # start is already the accumulate start
+            norms = np.sqrt(
+                np.add.accumulate(np.hstack((z, A * A)), axis=1)[:, -1]
+            )
+            for i in range(m - 1):
+                # strict id_a < id_b: skip equal-id rows, like the join
+                j0 = np.searchsorted(sid, sid[i], side="right")
+                if j0 >= m:
+                    continue
+                prods = A[j0:] * A[i]
+                zz = np.zeros((m - j0, 1))
+                dots = np.add.accumulate(
+                    np.hstack((zz, prods)), axis=1
+                )[:, -1]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = dots / (norms[i] * norms[j0:])
+                keep = sims >= margin  # NaN compares False, like the fold
+                if keep.any():
+                    kj = np.nonzero(keep)[0]
+                    out_a.extend([sid[i]] * len(kj))
+                    out_b.extend(sid[j0 + kj])
+                    out_s.extend(sims[kj])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+
+    return _fn
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -648,35 +731,57 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs: (a,b) with
     cos(v_a, v_b) ≥ threshold.
 
-    Two candidate generators, both equi-joins (never a theta/cross join):
+    Two candidate generators, both keyed shuffles of the VECTORS (one
+    row per vector per key — never a pair-level theta/cross join, and
+    never a pair-level shuffle of vector payloads):
 
-    * ``block_col`` given — self-join within the blocking column
-      (label/host); right when blocks are small and near-dups cannot
-      cross blocks.
+    * ``block_col`` given — all pairs within the blocking column
+      (label/host), scored per block by one ``applyInPandas`` pairwise
+      kernel; right when blocks are small and near-dups cannot cross
+      blocks.
     * ``block_col=None`` — multi-table random-hyperplane LSH: each vector
       gets ``n_tables`` signatures (independent plane families via
-      ``plane_offset``); candidates share (table, signature); exact
-      cosine verifies every candidate.  Recall for a pair at cosine s is
+      ``plane_offset``); candidates share (table, signature) and are
+      scored per bucket by the same kernel, then pair-deduped on light
+      (id, id, sim) rows.  Recall for a pair at cosine s is
       1 − (1 − p^r)^b with p = 1 − θ(s)/π, r = n_planes, b = n_tables
       (≈ 0.97 at s = 0.95 with r = 6, b = 4); pinned by
       tests/test_dedup_similarity.py.  This is the 10^12-scale path: the
-      pair space is bounded by bucket occupancy, not n²."""
-    from .similarity import cosine, rh_signature
+      pair space is bounded by bucket occupancy, not n².
+
+    Exact-cosine scoring is bit-identical to the former per-pair Column
+    fold — see ``_pairwise_cosine_group_fn``."""
+    from .similarity import rh_signature
 
     v = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
-    if block_col:
-        a, b = v.alias("a"), v.alias("b")
-        pairs = a.join(b, on="blk").where(F.col("a.id") < F.col("b.id"))
-        sim = cosine(F.col("a.v"), F.col("b.v"))
-        return pairs.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(sim, 6).alias("cosine_sim"),
+    id_dt = v.schema["id"].dataType.simpleString()
+    out_schema = f"id_a {id_dt}, id_b {id_dt}, sim double"
+    pair_fn = _pairwise_cosine_group_fn(threshold)
+
+    def _finish(near_pairs: DataFrame) -> DataFrame:
+        # ROUND and the exact threshold filter stay JVM-side; the group
+        # kernel emits a slight superset (margin threshold − 1e-6) so
+        # round-half-up boundary pairs survive to this exact filter.
+        return near_pairs.select(
+            "id_a", "id_b", F.round(F.col("sim"), 6).alias("cosine_sim")
         ).where(F.col("cosine_sim") >= threshold)
+
+    if block_col:
+        # One applyInPandas slot per block: each VECTOR crosses the
+        # python boundary once (m rows per block), not once per pair
+        # (m²/2 rows of 2×dim doubles) — the "decide with small rows"
+        # shape.  blk IS NOT NULL mirrors the former inner self-join on
+        # blk (null keys never matched).
+        near = (
+            v.where(F.col("blk").isNotNull())
+            .groupBy("blk")
+            .applyInPandas(pair_fn, out_schema)
+        )
+        return _finish(near)
 
     sigs = v.select(
         "id",
@@ -695,26 +800,24 @@ def embedding_near_dup_pairs(
             )
         ).alias("ts"),
     ).select("id", "v", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+    # Per-bucket pairwise verify, then dedup pairs seen in multiple
+    # tables on LIGHT (id, id, sim) rows.  The former shape shuffled
+    # every candidate pair carrying BOTH vectors (2×dim doubles) into a
+    # dropDuplicates exchange and then paid an interpreted cosine fold
+    # per pair; now vectors move once per (table, bucket) membership and
+    # the dedup exchange carries ~24-byte rows.  A pair sharing several
+    # buckets is scored once per bucket — identical inputs give a
+    # bit-identical score, so dropDuplicates keeping any copy is
+    # value-deterministic.  sig IS NOT NULL mirrors the former inner
+    # join on (tbl, sig) (a NULL embedding has a NULL signature and
+    # never matched).
+    near = (
+        sigs.where(F.col("sig").isNotNull())
+        .groupBy("tbl", "sig")
+        .applyInPandas(pair_fn, out_schema)
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = cosine(F.col("va"), F.col("vb"))
-    return cand.select(
-        "id_a", "id_b", F.round(sim, 6).alias("cosine_sim")
-    ).where(F.col("cosine_sim") >= threshold)
+    return _finish(near)
 
 
 def simhash_from_text_vectorized() -> "Column":

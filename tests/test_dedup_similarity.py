@@ -947,3 +947,91 @@ def test_simhash_kernel_property_random_arrays(spark):
         assert kern == fold
 
     check()
+
+
+def test_pairwise_cosine_group_kernel_bit_identical_to_fold(spark):
+    """The applyInPandas pairwise kernel behind embedding_near_dup_pairs
+    must emit EXACTLY the pairs (and bit-equal cosine doubles) of the
+    former per-pair Column fold construction (self-join + zip_with/
+    aggregate cosine + ROUND + filter), which the oracle certifies —
+    on adversarial vectors: denormals, negative zeros, mixed magnitudes,
+    NULL vectors, and mismatched lengths.  (Zero-norm vectors are pinned
+    separately below: under ANSI mode the former fold RAISED
+    DIVIDE_BY_ZERO on them, while the kernel drops them like the DuckDB
+    oracle's NaN — fixtures contain none, so no declared query result
+    changes.)"""
+    import math
+    import struct
+
+    from layout_parser_spark.operators.dedup import embedding_near_dup_pairs
+    from layout_parser_spark.operators.similarity import cosine
+
+    rows = [
+        (1, "x", [1.0, 2.0, 3.0, 4.0]),
+        (2, "x", [1.0, 2.0, 3.0, 4.000001]),
+        (3, "x", [-1.0, -2.0, -3.0, -4.0]),
+        (6, "x", [5e-324, -5e-324, 5e-308, 1.0]),  # denormals
+        (7, "x", [1e150, 1e150, -1e150, 1e-150]),  # huge/tiny mix
+        (8, "x", [1.0, 2.0, 3.0]),                 # length mismatch
+        (9, "x", None),                            # NULL vector
+        (10, "x", [0.1 + 0.2, 0.3, 0.7, 1.1]),     # non-representable sums
+        (11, "y", [1.0, 1.0, 1.0, 1.0]),
+        (12, "y", [1.0, 1.0, 1.0, 0.999999999]),
+        (13, "y", [1.0, 2.0, 3.0]),                # same length as 8, other blk
+        (14, "y", [2.0, 4.0, 6.0]),                # exact colinear (sim 1.0)
+        (15, "y", [-2.0, -4.0, -6.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    for thr in (0.3, -0.5, 0.9999995):
+        got = embedding_near_dup_pairs(
+            df, threshold=thr, block_col="label"
+        ).collect()
+        # the former construction, verbatim
+        v = df.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+            F.col("label").alias("blk"),
+        )
+        a, b = v.alias("a"), v.alias("b")
+        pairs = a.join(b, on="blk").where(F.col("a.id") < F.col("b.id"))
+        sim = cosine(F.col("a.v"), F.col("b.v"))
+        want = pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(sim, 6).alias("cosine_sim"),
+        ).where(F.col("cosine_sim") >= thr).collect()
+
+        def norm(rs):
+            out = {}
+            for r in rs:
+                assert r.cosine_sim is not None and not math.isnan(r.cosine_sim)
+                out[(r.id_a, r.id_b)] = struct.pack("<d", r.cosine_sim)
+            return out
+
+        g, w = norm(got), norm(want)
+        assert g == w, (
+            f"thr={thr}: kernel pairs != fold pairs "
+            f"(only-kernel={set(g) - set(w)}, only-fold={set(w) - set(g)}, "
+            f"bit-diff={[k for k in g if k in w and g[k] != w[k]]})"
+        )
+        assert g, f"thr={thr}: empty comparison is vacuous"
+
+    # zero-norm vectors: the kernel's NaN sim is never emitted (the
+    # DuckDB oracle's 0/0 is NaN and fails >= too); pairs among the
+    # well-formed rows are unaffected by the degenerate rows' presence
+    zdf = spark.createDataFrame(
+        [
+            (1, "z", [0.0, 0.0]),
+            (2, "z", [-0.0, -0.0]),
+            (3, "z", [1.0, 1.0]),
+            (4, "z", [2.0, 2.0]),
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    zgot = embedding_near_dup_pairs(
+        zdf, threshold=-2.0, block_col="label"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in zgot} == {(3, 4)}
+    assert [r.cosine_sim for r in zgot] == [1.0]
