@@ -466,12 +466,31 @@ def minhash_lsh_pairs(
             F.col(text_col)
         ).alias("sig"),
     )
+    # The signature table feeds THREE consumers below (the banded
+    # self-join's shared exchange and both per-id signature attaches);
+    # materialize it once so the fused kernel runs exactly once per
+    # document instead of once per consumer subtree.  localCheckpoint
+    # (not persist) on purpose: it is NOT CacheManager-keyed, so every
+    # fresh invocation of this function recomputes from the inputs —
+    # the cost stays inside whatever is being timed, and nothing is
+    # shared across bench runs.  At 10^12 docs this is the standard
+    # materialized signature-index intermediate (MEMORY_AND_DISK,
+    # spills; ~8·num_hashes bytes/doc).
+    sig = sig.localCheckpoint(eager=True)
     # band KEYS are the r raw component LONGS (k0..k{r-1}) — tuple
     # equality is all the join needs; no per-row string building, and
-    # the shuffle carries 8-byte ints instead of a concat'd string
+    # the shuffle carries 8-byte ints instead of a concat'd string.
+    # The full signature array (num_hashes longs, ~0.5 KB) is NOT
+    # carried into the banded self-join: candidates are decided on the
+    # light (band, k0..k{r-1}, id) rows, the (id_a, id_b) pairs dedup
+    # while still light, and the two signatures re-attach by id only
+    # for the surviving unique pairs — the §8 "decide with small rows,
+    # attach the payload once" shape.  (The former plan shipped the
+    # signature on every one of the bands× exploded rows through the
+    # self-join exchange; with duplicate-heavy corpora each candidate
+    # copy re-shipped ~1 KB of signatures.)
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -490,31 +509,17 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select(
         "id",
-        "sig",
         F.col("bb.band").alias("band"),
         *[F.col(f"bb.k{j}").alias(f"k{j}") for j in range(r)],
     )
 
-    # SHUFFLE_HASH: avoid broadcasting the banded signature table (see
+    # SHUFFLE_HASH: avoid broadcasting the banded table (see
     # ngram_jaccard_pairs) — both sides shuffle on the band key (AQE
     # reuses one exchange for the self-join), per-partition hash build
     # skips the sort-merge sorts
     a = banded.alias("a").hint("SHUFFLE_HASH")
     b = banded.alias("b").hint("SHUFFLE_HASH")
-    # est_jaccard is computed BEFORE the pair-dedup: the same (id_a,id_b)
-    # always carries the same signatures, so the estimate is identical on
-    # every duplicate candidate row and the dropDuplicates exchange
-    # shuffles (id_a, id_b, est) — 24 bytes — instead of two
-    # num_hashes-long signature arrays (~1 KB) per candidate.
-    est = F.size(
-        F.filter(
-            F.zip_with(
-                F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y
-            ),
-            lambda v: v,
-        )
-    ) / F.lit(num_hashes)
-    cand = (
+    pair_ids = (
         a.join(
             b,
             functools.reduce(
@@ -527,15 +532,40 @@ def minhash_lsh_pairs(
             )
             & (F.col("a.id") < F.col("b.id")),
         )
-        .where(est >= threshold)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(est, 6).alias("est_jaccard"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand
+    # est is identical on every candidate copy of a pair (same two
+    # signatures), so filtering after the pair-dedup is value-identical
+    # to the former filter-then-dedup order.  One signature exchange
+    # (keyed on id) is AQE-reused by both attach joins.
+    sa = sig.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("_sa")
+    ).hint("SHUFFLE_HASH")
+    sb = sig.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("_sb")
+    ).hint("SHUFFLE_HASH")
+    est = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("_sa"), F.col("_sb"), lambda x, y: x == y
+            ),
+            lambda v: v,
+        )
+    ) / F.lit(num_hashes)
+    return (
+        pair_ids.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .where(est >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 6).alias("est_jaccard"),
+        )
+    )
 
 
 def simhash_from_hashes(hashes: Column, n_toks: Column) -> Column:

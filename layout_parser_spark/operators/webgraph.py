@@ -247,10 +247,22 @@ def connected_components(
     per-document key: min-label propagation with POINTER DOUBLING
     (lbl := lbl(lbl)) so chains collapse in O(log n) rounds, edges
     CONTRACTED onto current labels each round, every round's outputs
-    ``localCheckpoint``-ed (constant lineage).  The per-round
-    ``limit(1).count()`` early-stop probe and the bounding ``max_iter``
-    are the standard O(log n)-loop convergence checks — driver-side by
-    design, each over the contracted (shrinking) label delta."""
+    ``localCheckpoint``-ed (constant lineage).
+
+    Convergence probe (r6): the loop exits when the CONTRACTED edge set
+    is empty — a ``limit(1).count()`` over the already-checkpointed
+    ``cur``, zero shuffles.  Equivalence with the former
+    labels-changed probe (a per-round shuffle join of two label
+    tables): contracted-empty means every edge's endpoints share a
+    label, so labels are constant on each component; the component's
+    minimum node m always has lbl(m) = m (labels only decrease and are
+    bounded below by the component min), hence the constant IS the
+    component min and no further round can change any label.
+    Conversely, while two distinct labels remain adjacent the
+    contraction keeps that edge.  The probe also exits one round
+    earlier than labels-changed (which needed an extra no-op round to
+    observe stability); the labels at exit are identical.  ``max_iter``
+    still bounds the O(log n) loop."""
     e = (
         edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -284,16 +296,7 @@ def connected_components(
             .select("id", F.coalesce(F.col("_l2"), F.col("lbl")).alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), on="id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
         labels = new
-        if changed == 0:
-            break
         lu = labels.select(F.col("id").alias("u"), F.col("lbl").alias("lu"))
         lv = labels.select(F.col("id").alias("v"), F.col("lbl").alias("lv"))
         cur = (
@@ -304,6 +307,8 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        if cur.limit(1).count() == 0:
+            break
     return labels
 
 
